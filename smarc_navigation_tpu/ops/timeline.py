@@ -1,0 +1,228 @@
+"""Sensor timeline: the TPU-native replacement of the ROS transport layer.
+
+The reference wires sensors to filters through ROS pub/sub callbacks feeding
+mutex-guarded deques, and each filter node runs a wall-clock timer that
+consumes the *latest* entry of each queue per tick
+(``ekf_localization.cpp:218-252,547-624``, ``odom_provider.cpp:240-324``).
+
+Here the whole mission is materialized up front as a struct-of-arrays
+*timeline*: a fixed tick grid (the timer), and for every sensor channel the
+per-tick snapshot of "latest message at or before this tick", plus freshness
+metadata. Building the snapshot is a host-side numpy `searchsorted` done once
+per mission; after that, replay is a single `lax.scan` over time with no
+host↔device traffic. Dropouts are expressed as validity masks — which is also
+the fault-injection mechanism (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Channel:
+    """Per-tick snapshot of one sensor channel.
+
+    value:  (T, D)   latest payload at or before each tick (zeros if none yet)
+    stamp:  (T,)     stamp of that payload (-inf if none)
+    valid:  (T,)     any message received at or before this tick
+    fresh:  (T,)     a new message arrived since the previous tick
+    age:    (T,)     tick_time - stamp (staleness, used for dropout gating)
+    """
+
+    value: jnp.ndarray
+    stamp: jnp.ndarray
+    valid: jnp.ndarray
+    fresh: jnp.ndarray
+    age: jnp.ndarray
+
+
+@struct.dataclass
+class WindowChannel:
+    """Like Channel, but carrying the last W stamped messages per tick —
+    needed by the Bézier DVL interpolation (``odom_provider.cpp:126-165``)
+    which extrapolates over the most recent window of readings.
+
+    value:  (T, W, D)  last W payloads (oldest..newest); row repeats oldest
+                       available when fewer than W messages have arrived
+    stamp:  (T, W)
+    count:  (T,)       number of real messages in the window (<= W)
+    """
+
+    value: jnp.ndarray
+    stamp: jnp.ndarray
+    count: jnp.ndarray
+
+
+@struct.dataclass
+class EventChannel:
+    """Sparse per-tick event sets (landmark detections): measurements are
+    delivered in bursts; each tick sees at most one burst (the reference pops
+    one PoseArray per tick, ``ekf_localization.cpp:479-524``).
+
+    value: (T, K, D) padded detections assigned to each tick
+    mask:  (T, K)    which detection slots are real
+    """
+
+    value: jnp.ndarray
+    mask: jnp.ndarray
+
+
+def _latest_index(stamps: np.ndarray, ticks: np.ndarray) -> np.ndarray:
+    """Index of latest stamp <= tick, -1 if none."""
+    return np.searchsorted(stamps, ticks, side="right") - 1
+
+
+def make_channel(
+    ticks: np.ndarray,
+    stamps: np.ndarray,
+    values: np.ndarray,
+    dtype=np.float32,
+) -> Channel:
+    """Build a latest-value Channel from raw stamped messages (host side)."""
+    stamps = np.asarray(stamps, dtype=np.float64)
+    values = np.atleast_2d(np.asarray(values, dtype=dtype))
+    if values.shape[0] != stamps.shape[0]:
+        raise ValueError("values/stamps length mismatch")
+    order = np.argsort(stamps, kind="stable")
+    stamps, values = stamps[order], values[order]
+
+    idx = _latest_index(stamps, ticks)
+    valid = idx >= 0
+    safe = np.maximum(idx, 0)
+    value = values[safe]
+    value[~valid] = 0.0
+    stamp = np.where(valid, stamps[safe], -np.inf)
+    prev_idx = np.concatenate([[-1], idx[:-1]])
+    fresh = valid & (idx != prev_idx)
+    age = np.where(valid, ticks - stamp, np.inf)
+    return Channel(
+        value=jnp.asarray(value),
+        stamp=jnp.asarray(stamp.astype(dtype)),
+        valid=jnp.asarray(valid),
+        fresh=jnp.asarray(fresh),
+        age=jnp.asarray(age.astype(dtype)),
+    )
+
+
+def make_window_channel(
+    ticks: np.ndarray,
+    stamps: np.ndarray,
+    values: np.ndarray,
+    window: int,
+    dtype=np.float32,
+) -> WindowChannel:
+    stamps = np.asarray(stamps, dtype=np.float64)
+    values = np.atleast_2d(np.asarray(values, dtype=dtype))
+    order = np.argsort(stamps, kind="stable")
+    stamps, values = stamps[order], values[order]
+
+    idx = _latest_index(stamps, ticks)  # (T,)
+    offs = np.arange(-(window - 1), 1)  # oldest..newest
+    widx = idx[:, None] + offs[None, :]
+    count = np.clip(idx + 1, 0, window)
+    widx = np.clip(widx, 0, max(len(stamps) - 1, 0))
+    if len(stamps) == 0:
+        raise ValueError("window channel needs at least one message")
+    return WindowChannel(
+        value=jnp.asarray(values[widx]),
+        stamp=jnp.asarray(stamps[widx].astype(dtype)),
+        count=jnp.asarray(count.astype(np.int32)),
+    )
+
+
+def make_event_channel(
+    ticks: np.ndarray,
+    stamps: np.ndarray,
+    values: np.ndarray,  # (M, D) one row per detection
+    burst_id: np.ndarray,  # (M,) groups detections into bursts
+    max_per_tick: int,
+    dtype=np.float32,
+) -> EventChannel:
+    """Assign each detection burst to the first tick at/after its stamp.
+
+    Mirrors queue semantics: detections wait in the queue and are consumed by
+    the next filter tick. Bursts landing on the same tick are merged up to
+    max_per_tick (extra detections are dropped — the reference's queue would
+    instead delay them one tick; at filter rates this is equivalent).
+    """
+    T = len(ticks)
+    D = values.shape[1] if values.size else 3
+    out = np.zeros((T, max_per_tick, D), dtype=dtype)
+    mask = np.zeros((T, max_per_tick), dtype=bool)
+    if len(stamps):
+        tick_of = np.searchsorted(ticks, stamps, side="left")
+        fill = np.zeros(T, dtype=np.int64)
+        for m in range(len(stamps)):
+            t = tick_of[m]
+            if t >= T:
+                continue
+            k = fill[t]
+            if k < max_per_tick:
+                out[t, k] = values[m]
+                mask[t, k] = True
+                fill[t] += 1
+    return EventChannel(value=jnp.asarray(out), mask=jnp.asarray(mask))
+
+
+@struct.dataclass
+class Timeline:
+    """A full mission timeline on a fixed tick grid.
+
+    ticks: (T,) tick times [s]; channels: named sensor snapshots.
+    """
+
+    ticks: jnp.ndarray
+    dt: float = struct.field(pytree_node=False)
+    channels: Dict[str, Channel] = struct.field(default_factory=dict)
+    windows: Dict[str, WindowChannel] = struct.field(default_factory=dict)
+    events: Dict[str, EventChannel] = struct.field(default_factory=dict)
+
+    @property
+    def num_ticks(self) -> int:
+        return self.ticks.shape[0]
+
+    def slice_tick(self, k):
+        """Per-tick pytree view (used as the scan xs element)."""
+        import jax
+
+        return jax.tree_util.tree_map(lambda x: x[k], self)
+
+
+def make_ticks(t0: float, t1: float, freq_hz: float) -> np.ndarray:
+    n = int(np.floor((t1 - t0) * freq_hz)) + 1
+    return (t0 + np.arange(n) / freq_hz).astype(np.float64)
+
+
+def build_timeline(
+    t0: float,
+    t1: float,
+    freq_hz: float,
+    channels: Optional[Dict[str, tuple]] = None,   # name -> (stamps, values)
+    windows: Optional[Dict[str, tuple]] = None,    # name -> (stamps, values, W)
+    events: Optional[Dict[str, tuple]] = None,     # name -> (stamps, values, burst_id, K)
+    dtype=np.float32,
+) -> Timeline:
+    ticks = make_ticks(t0, t1, freq_hz)
+    chan = {
+        name: make_channel(ticks, s, v, dtype) for name, (s, v) in (channels or {}).items()
+    }
+    win = {
+        name: make_window_channel(ticks, s, v, w, dtype)
+        for name, (s, v, w) in (windows or {}).items()
+    }
+    ev = {
+        name: make_event_channel(ticks, s, v, b, k, dtype)
+        for name, (s, v, b, k) in (events or {}).items()
+    }
+    return Timeline(
+        ticks=jnp.asarray(ticks.astype(dtype)),
+        dt=float(1.0 / freq_hz),
+        channels=chan,
+        windows=win,
+        events=ev,
+    )

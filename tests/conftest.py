@@ -1,0 +1,17 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; per SURVEY.md §4 we stand in
+a pod with XLA's host-platform device virtualization. Must run before jax
+is first imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # overwrite: env ships JAX_PLATFORMS=axon (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
