@@ -1,0 +1,245 @@
+"""GPS-weighted Monte-Carlo localization (particle filter).
+
+TPU-native rebuild of ``auv_particle_filter`` (SURVEY.md §2.1, call stack
+§3.4). The reference keeps 50 ``Particle`` python objects and loops over
+them per callback (``auv_pf.py:213-216``); here the bank is one (N, 6)
+array, the motion/weight models are written for a single particle and
+``vmap``-ed, and resampling is an on-device inverse-CDF — the same code
+runs 50 particles or 10 million, and shards over a device mesh
+(``parallel.fleet``).
+
+Semantics preserved:
+
+* motion (``auv_particle.py:38-70``): integrate odometry yaw rate with
+  per-particle process noise, read roll/pitch (and depth) absolutely from
+  odometry, advance x/y by R(rpy)·v·dt + noise.
+* weighting (``auv_particle.py:100-106``): w = N(gps_xy; map-frame particle
+  xy, meas_std²·I₂) — computed in log-space then exponentiated with the
+  reference's 1e-200 floor (``auv_pf.py:163-166``).
+* resampling (``auv_pf.py:169-198``): residual resampling by default, then
+  per-particle jitter with the resampling noise covariance. The reference's
+  lost/dupes slot-reassignment dance produces the same ancestor multiset as
+  a plain gather by ancestor index (only the slot order differs).
+* outputs (``auv_pf.py:218-260``): mean pose with yaw wrapping, 3×3 sample
+  covariance of position.
+* dive gating (``auv_pf.py:122-133``): GPS updates are skipped while diving.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import PFConfig
+from ..ops import resampling
+from ..ops.timeline import Timeline, build_timeline
+from ..utils.geometry import rotmat_from_rpy, rpy_from_quat, wrap_angle
+
+
+class PFParams(NamedTuple):
+    init_cov: jnp.ndarray      # (6,)
+    motion_cov: jnp.ndarray    # (6,)
+    res_noise_cov: jnp.ndarray # (6,)
+    meas_var: jnp.ndarray      # scalar, meas_std²
+    # map <- odom transform (the PF estimates in odom, weights in map frame)
+    r_m2o: jnp.ndarray         # (3,3)
+    t_m2o: jnp.ndarray         # (3,)
+
+
+class PFState(NamedTuple):
+    particles: jnp.ndarray     # (N, 6)
+    key: jnp.ndarray
+    t_prev: jnp.ndarray
+
+
+def make_params(
+    cfg: PFConfig = PFConfig(),
+    r_m2o: np.ndarray | None = None,
+    t_m2o: np.ndarray | None = None,
+    dtype=jnp.float32,
+) -> PFParams:
+    return PFParams(
+        init_cov=jnp.asarray(cfg.init_cov, dtype),
+        motion_cov=jnp.asarray(cfg.motion_cov, dtype),
+        res_noise_cov=jnp.asarray(cfg.res_noise_cov, dtype),
+        meas_var=jnp.asarray(cfg.measurement_std**2, dtype),
+        r_m2o=jnp.asarray(np.eye(3) if r_m2o is None else r_m2o, dtype),
+        t_m2o=jnp.asarray(np.zeros(3) if t_m2o is None else t_m2o, dtype),
+    )
+
+
+def init_state(
+    n_particles: int,
+    params: PFParams,
+    key=None,
+    mu0=None,
+    dtype=jnp.float32,
+) -> PFState:
+    key = jax.random.PRNGKey(0) if key is None else key
+    key, sub = jax.random.split(key)
+    base = jnp.zeros(6, dtype) if mu0 is None else jnp.asarray(mu0, dtype)
+    noise = jax.random.normal(sub, (n_particles, 6), dtype) * jnp.sqrt(params.init_cov)
+    return PFState(
+        particles=base[None, :] + noise,
+        key=key,
+        t_prev=jnp.asarray(0.0, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# models (single particle; vmapped)
+# ---------------------------------------------------------------------------
+
+def motion_model(p: jnp.ndarray, odom: jnp.ndarray, dt, noise: jnp.ndarray) -> jnp.ndarray:
+    """odom = [x,y,z, quat4, v3, w3] (13,). One particle step."""
+    quat = odom[3:7]
+    v = odom[7:10]
+    wz = odom[12]
+
+    rot = p[3:6] + jnp.stack([0.0 * wz, 0.0 * wz, wz]) * dt + noise[3:6]
+    abs_rpy = rpy_from_quat(quat)
+    rpy = jnp.stack([abs_rpy[0], abs_rpy[1], wrap_angle(rot[2])])
+
+    step = rotmat_from_rpy(rpy) @ (v * dt) + noise[0:3]
+    x = p[0] + step[0]
+    y = p[1] + step[1]
+    z = odom[2]  # depth read directly
+    return jnp.stack([x, y, z, rpy[0], rpy[1], rpy[2]])
+
+
+def log_weight(p: jnp.ndarray, gps_map_xy: jnp.ndarray, params: PFParams) -> jnp.ndarray:
+    """log N(gps; particle position in map frame, meas_var·I₂)."""
+    pos_map = params.r_m2o @ p[0:3] + params.t_m2o
+    d = gps_map_xy - pos_map[0:2]
+    return -0.5 * jnp.sum(d * d) / params.meas_var - jnp.log(
+        2 * jnp.pi * params.meas_var
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter steps
+# ---------------------------------------------------------------------------
+
+def predict(state: PFState, odom: jnp.ndarray, dt, params: PFParams) -> PFState:
+    key, sub = jax.random.split(state.key)
+    n = state.particles.shape[0]
+    noise = jax.random.normal(sub, (n, 6), state.particles.dtype) * jnp.sqrt(
+        params.motion_cov
+    )
+    parts = jax.vmap(lambda p, e: motion_model(p, odom, dt, e))(state.particles, noise)
+    return PFState(particles=parts, key=key, t_prev=state.t_prev)
+
+
+def update_resample(
+    state: PFState,
+    gps_map_xy: jnp.ndarray,
+    params: PFParams,
+    scheme: str = "residual",
+) -> PFState:
+    key, k_res, k_noise = jax.random.split(state.key, 3)
+    logw = jax.vmap(lambda p: log_weight(p, gps_map_xy, params))(state.particles)
+    # reference floor: weights += 1e-200 then normalize (auv_pf.py:163-166)
+    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+    w = w + 1e-30
+    w = w / jnp.sum(w)
+
+    idx = resampling.SCHEMES[scheme](k_res, w)
+    parts = state.particles[idx]
+    n = parts.shape[0]
+    noise = jax.random.normal(k_noise, (n, 6), parts.dtype) * jnp.sqrt(
+        params.res_noise_cov
+    )
+    return PFState(particles=parts + noise, key=key, t_prev=state.t_prev)
+
+
+def estimate(particles: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean pose (yaw-wrapped circular mean) + 3×3 position sample covariance
+    (``auv_pf.py:218-253``; the reference's arithmetic yaw mean of wrapped
+    angles is replaced by the circular mean — identical away from the seam,
+    correct at it)."""
+    mean = jnp.mean(particles, axis=0)
+    s = jnp.mean(jnp.sin(particles[:, 5]))
+    c = jnp.mean(jnp.cos(particles[:, 5]))
+    yaw = jnp.arctan2(s, c)
+    mean = mean.at[5].set(yaw)
+    d = particles[:, 0:3] - mean[None, 0:3]
+    cov = (d.T @ d) / particles.shape[0]
+    return mean, cov
+
+
+def step(
+    cfg: PFConfig,
+    params: PFParams,
+    state: PFState,
+    tick,
+    scheme: str = "residual",
+):
+    """One PF tick: predict on fresh odometry, GPS update+resample when a
+    fresh fix arrives and the vehicle is not diving."""
+    odom = tick.channels["odom"]     # 13-dim [pos3, quat4, v3, w3]
+    gps = tick.channels["gps"]       # 2-dim map-frame fix
+    diving = tick.channels["diving"] # 1-dim flag
+
+    dt = jnp.maximum(tick.ticks - state.t_prev, 0.0)
+    pred = predict(state, odom.value, dt, params)
+    pred = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(odom.fresh, new, old), pred, state
+    )
+    pred = pred._replace(t_prev=jnp.where(odom.fresh, tick.ticks, state.t_prev))
+
+    do_update = gps.fresh & (diving.value[0] < 0.5)
+    upd = update_resample(pred, gps.value[0:2], params, scheme)
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(do_update, new, old), upd, pred
+    )
+
+    mean, cov = estimate(new_state.particles)
+    out = {"mean": mean, "cov": cov, "updated": do_update}
+    return new_state, out
+
+
+def run(
+    timeline: Timeline,
+    params: PFParams,
+    cfg: PFConfig = PFConfig(),
+    n_particles: int | None = None,
+    key=None,
+    scheme: str = "residual",
+):
+    n = cfg.particle_count if n_particles is None else n_particles
+    s0 = init_state(n, params, key)
+
+    def body(state, tick):
+        return step(cfg, params, state, tick, scheme)
+
+    return jax.lax.scan(body, s0, timeline)
+
+
+def pf_timeline(mission, freq_hz: float = 10.0) -> Timeline:
+    """PF timeline from a simulated mission: odometry (ground-truth-derived
+    13-dim), GPS fixes, diving flag."""
+    from ..utils.geometry import quat_from_rpy
+
+    s = mission.streams
+    # odom channel from GT at the odom rate (stands in for the DR output)
+    t_odom = np.arange(0.0, mission.spec.duration_s, 0.1)
+    gt = mission.gt_at(t_odom)
+    quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
+    k = np.clip((t_odom * mission.spec.sim_hz).astype(int), 0, len(mission.t) - 1)
+    odom13 = np.concatenate(
+        [gt[:, 0:3], quat, mission.vel_body[k], mission.gyro[k]], axis=1
+    )
+    dive = (gt[:, 2] < mission.spec.gps_surface_z).astype(np.float32)[:, None]
+    return build_timeline(
+        t0=0.0,
+        t1=mission.spec.duration_s,
+        freq_hz=freq_hz,
+        channels={
+            "odom": (t_odom, odom13),
+            "gps": (s["gps"]["stamps"], s["gps"]["values"]),
+            "diving": (t_odom, dive),
+        },
+    )

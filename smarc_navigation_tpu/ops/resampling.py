@@ -1,0 +1,89 @@
+"""Particle resampling schemes, on-device.
+
+Re-implementations of the four FilterPy-style samplers the reference vendors
+(``auv_particle_filter/scripts/resampling.py:27-194``), reformulated for
+XLA: no data-dependent python loops — every scheme is cumsum + searchsorted
+with static shapes, so they jit, vmap over mission fleets, and run on TPU.
+
+All samplers take normalized weights (N,) and a PRNG key and return (N,)
+int32 ancestor indices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _inverse_cdf(weights: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+    cdf = jnp.cumsum(weights)
+    cdf = cdf.at[-1].set(1.0)  # guard round-off (reference does the same)
+    return jnp.searchsorted(cdf, positions).astype(jnp.int32)
+
+
+def systematic_resample(key, weights: jnp.ndarray) -> jnp.ndarray:
+    """One random offset, N evenly spaced positions
+    (``resampling.py:135-168``)."""
+    n = weights.shape[0]
+    u = jax.random.uniform(key, ())
+    positions = (u + jnp.arange(n, dtype=weights.dtype)) / n
+    return _inverse_cdf(weights, positions)
+
+
+def stratified_resample(key, weights: jnp.ndarray) -> jnp.ndarray:
+    """One uniform draw per stratum (``resampling.py:80-114``)."""
+    n = weights.shape[0]
+    u = jax.random.uniform(key, (n,))
+    positions = (u + jnp.arange(n, dtype=weights.dtype)) / n
+    return _inverse_cdf(weights, positions)
+
+
+def multinomial_resample(key, weights: jnp.ndarray) -> jnp.ndarray:
+    """IID draws from the weight distribution (``resampling.py:171-194``,
+    'naive' variant included — same estimator)."""
+    n = weights.shape[0]
+    u = jnp.sort(jax.random.uniform(key, (n,)))
+    return _inverse_cdf(weights, u)
+
+
+def residual_resample(key, weights: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic ⌊N·w⌋ copies + multinomial on the residual
+    (``resampling.py:27-76``).
+
+    The reference's python loop materializes each particle's copies in
+    sequence; here the deterministic block is an inverse-CDF over the copy
+    counts (identical multiset of ancestors) and the stochastic tail is a
+    multinomial over the residual weights — distribution-identical, fixed
+    shape.
+    """
+    n = weights.shape[0]
+    scaled = n * weights
+    copies = jnp.floor(scaled)
+    k = jnp.sum(copies).astype(jnp.int32)  # deterministic count (dynamic value)
+
+    # deterministic ancestors: position j gets the i with cumsum(copies)>j
+    cum = jnp.cumsum(copies)
+    j = jnp.arange(n, dtype=weights.dtype)
+    det_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    det_idx = jnp.minimum(det_idx, n - 1)
+
+    # stochastic tail from residual weights
+    resid = scaled - copies
+    resid_sum = jnp.maximum(jnp.sum(resid), 1e-30)
+    resid = resid / resid_sum
+    u = jnp.sort(jax.random.uniform(key, (n,)))
+    tail_idx = _inverse_cdf(resid, u)
+
+    # slots [0,k) deterministic, [k,N) stochastic — static shapes via where
+    take_det = jnp.arange(n) < k
+    # tail slot j>=k uses tail draw (j-k); gather with shifted index
+    shift = jnp.clip(jnp.arange(n) - k, 0, n - 1)
+    return jnp.where(take_det, det_idx, tail_idx[shift])
+
+
+SCHEMES = {
+    "systematic": systematic_resample,
+    "stratified": stratified_resample,
+    "multinomial": multinomial_resample,
+    "residual": residual_resample,
+}

@@ -85,9 +85,21 @@ def make_channel(
 ) -> Channel:
     """Build a latest-value Channel from raw stamped messages (host side)."""
     stamps = np.asarray(stamps, dtype=np.float64)
-    values = np.atleast_2d(np.asarray(values, dtype=dtype))
+    values = np.asarray(values, dtype=dtype)
+    if values.ndim == 1:
+        values = values[:, None]
     if values.shape[0] != stamps.shape[0]:
         raise ValueError("values/stamps length mismatch")
+    if len(stamps) == 0:
+        # channel with no messages: permanently invalid (sensor dropout)
+        T, D = len(ticks), max(values.shape[1] if values.ndim == 2 else 1, 1)
+        return Channel(
+            value=jnp.zeros((T, D), dtype),
+            stamp=jnp.full((T,), -np.inf, dtype),
+            valid=jnp.zeros((T,), bool),
+            fresh=jnp.zeros((T,), bool),
+            age=jnp.full((T,), np.inf, dtype),
+        )
     order = np.argsort(stamps, kind="stable")
     stamps, values = stamps[order], values[order]
 
