@@ -404,7 +404,17 @@ def step(
     """One SLAM tick (``ekf_slam.cpp:296-350``): consume latest odometry,
     then run a DA pass per sensor whose burst is non-empty."""
     odom = tick.channels["odom"]
-    pred = predict(state, odom.value[0:6], params)
+    # accept either a 6-dim pose track or the 13-dim nav_msgs-style layout
+    # [pos3, quat4, linvel3, angvel3] (static shape dispatch)
+    if odom.value.shape[-1] >= 13:
+        from ..utils.geometry import rpy_from_quat
+
+        odom_pose = jnp.concatenate(
+            [odom.value[0:3], rpy_from_quat(odom.value[3:7])]
+        )
+    else:
+        odom_pose = odom.value[0:6]
+    pred = predict(state, odom_pose, params)
 
     def run_pass(st, ev, sensor):
         def do_pass(s):

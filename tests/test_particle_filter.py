@@ -116,7 +116,7 @@ def test_pf_gps_reduces_drift():
 
 
 def test_estimate_yaw_circular_mean():
-    parts = jnp.zeros((4, 6)).at[:, 5].set(jnp.asarray([3.1, -3.1, 3.14, -3.14]))
+    parts = jnp.zeros((6, 4)).at[5, :].set(jnp.asarray([3.1, -3.1, 3.14, -3.14]))
     mean, _ = pf.estimate(parts)
     # near ±pi seam the circular mean stays at the seam, not at 0
     assert abs(abs(float(mean[5])) - np.pi) < 0.05
@@ -125,5 +125,5 @@ def test_estimate_yaw_circular_mean():
 def test_pf_scales_to_100k_particles():
     m, cfg, tl, params = make_case(duration=10.0, n=100_000)
     final, out = jax.jit(lambda t: pf.run(t, params, cfg, n_particles=100_000))(tl)
-    assert final.particles.shape == (100_000, 6)
+    assert final.particles.shape == (6, 100_000)
     assert bool(jnp.isfinite(out["mean"]).all())
