@@ -1,1 +1,1 @@
-from . import bezier, oned_kf, timeline  # noqa: F401
+from . import assignment, bezier, oned_kf, raycast, resampling, sonar, timeline  # noqa: F401

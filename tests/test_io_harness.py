@@ -1,0 +1,122 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smarc_navigation_tpu.io import map_server, observability, replay, sim
+from smarc_navigation_tpu.models import dead_reckoning as dr
+from smarc_navigation_tpu.ops import raycast
+from smarc_navigation_tpu.configs import DRConfig, SAMConfig
+
+
+def test_chunked_replay_matches_single_scan(tmp_path):
+    m = sim.simulate(sim.MissionSpec(duration_s=20.0))
+    tl = dr.sam_timeline(m)
+    cfg, sam_cfg = DRConfig(), SAMConfig()
+
+    def step(state, tick):
+        return dr.dr_step(cfg, sam_cfg, state, tick)
+
+    full = np.asarray(dr.run_sam_dr(tl))
+    final, out = replay.run_chunked(step, dr.dr_init(), tl, chunk_size=128)
+    np.testing.assert_allclose(np.asarray(out), full, atol=1e-5)
+
+
+def test_checkpoint_resume(tmp_path):
+    m = sim.simulate(sim.MissionSpec(duration_s=20.0))
+    tl = dr.sam_timeline(m)
+    cfg, sam_cfg = DRConfig(), SAMConfig()
+
+    def step(state, tick):
+        return dr.dr_step(cfg, sam_cfg, state, tick)
+
+    ck = str(tmp_path / "ck")
+    final1, out1 = replay.run_chunked(step, dr.dr_init(), tl, chunk_size=128,
+                                      ckpt_dir=ck, ckpt_every_chunks=2)
+    assert replay.latest_checkpoint(ck) is not None
+    # resume from latest: replays only the tail, final state identical
+    final2, out_tail = replay.run_chunked(step, dr.dr_init(), tl, chunk_size=128,
+                                          ckpt_dir=ck, ckpt_every_chunks=2)
+    np.testing.assert_allclose(np.asarray(final1.pos), np.asarray(final2.pos), atol=1e-6)
+
+
+def test_replay_nan_guard():
+    m = sim.simulate(sim.MissionSpec(duration_s=5.0))
+    tl = dr.sam_timeline(m)
+
+    def bad_step(state, tick):
+        state = state._replace(pos=state.pos / 0.0)
+        return state, state.pos
+
+    with pytest.raises(replay.ReplayError):
+        replay.run_chunked(bad_step, dr.dr_init(), tl, chunk_size=64)
+
+
+def test_map_server_yaml(tmp_path):
+    yml = tmp_path / "map.yaml"
+    yml.write_text(
+        """
+world:
+  - position: {x: 1.0, y: 2.0, z: -95.0}
+  - position: {x: 3.0, y: 4.0, z: -80.0}
+  - position: {x: 5.0, y: 6.0, z: -99.0}
+"""
+    )
+    lm = map_server.parse_map_yaml(str(yml), rocks_depth=-90.0)
+    assert lm.shape == (2, 3)
+    np.testing.assert_allclose(lm[:, 0], [1.0, 5.0])
+
+    npz = str(tmp_path / "map.npz")
+    map_server.save_map(npz, lm)
+    lm2, ids = map_server.load_map(npz)
+    np.testing.assert_allclose(lm2, lm)
+
+
+def test_observability_outputs(tmp_path):
+    t = np.linspace(0, 10, 101)
+    gt = np.stack([t, np.sin(t), -1 + 0 * t, 0 * t, 0 * t, 0.1 * t], -1)
+    est = gt + 0.05
+    chans = observability.flatten_odometry(est, twist=np.zeros((101, 6)))
+    assert set(chans) >= {"x", "y", "depth", "roll", "pitch", "yaw", "u", "r"}
+    png = str(tmp_path / "dash.png")
+    stats = observability.error_dashboard(t, {"est": est}, gt, path=png)
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
+    assert stats["est"]["final_error"] < 0.1
+    rep = observability.run_report(est, gt, path=str(tmp_path / "report.json"))
+    assert "rmse_pos" in rep and os.path.exists(tmp_path / "report.json")
+
+
+def test_raycast_ping():
+    spec = raycast.MBESSpec(num_beams=64, floor_z=-15.0, rock_radius=1.5)
+    pose = jnp.asarray([0.0, 0.0, -2.0, 0.0, 0.0, 0.0])
+    landmarks = jnp.asarray([[0.0, 5.0, -14.0], [0.0, -500.0, -14.0]])
+    mask = jnp.asarray([True, False])  # second landmark masked out
+    ranges, intens = raycast.render_ping(pose, landmarks, mask, spec)
+    ranges, intens = np.asarray(ranges), np.asarray(intens)
+    assert (intens >= 1.0).all() and (intens == 10.0).any()
+    # rock hits are closer than the floor along those beams
+    rock_beams = intens == 10.0
+    assert ranges[rock_beams].min() < 13.5
+    # straight-down beam sees the floor 13 m away
+    mid = 32
+    assert abs(ranges[mid] - 13.0) < 0.2
+
+    # full loop: ping -> detections in base frame near the true landmark
+    pts, dmask = raycast.ping_detections(pose, landmarks, mask, spec)
+    assert int(jnp.sum(dmask)) >= 1
+    p = np.asarray(pts)[np.asarray(dmask)][0]
+    # base frame: landmark at y=5, z=-12 relative to vehicle
+    assert abs(p[1] - 5.0) < 1.5 and abs(p[2] - (-12.0)) < 1.5
+
+
+def test_raycast_no_landmarks_sees_floor_only():
+    spec = raycast.MBESSpec()
+    pose = jnp.zeros(6).at[2].set(-2.0)
+    lm = jnp.zeros((4, 3))
+    mask = jnp.zeros(4, bool)
+    ranges, intens = raycast.render_ping(pose, lm, mask, spec)
+    assert (np.asarray(intens) == spec.base_intensity).all()
+    pts, dmask = raycast.ping_detections(pose, lm, mask, spec)
+    assert int(jnp.sum(dmask)) == 0
