@@ -1,0 +1,288 @@
+"""15-state EKF — the ``robot_localization`` dual-EKF equivalent.
+
+The reference's SAM stack runs two instances of robot_localization's
+``ekf_localization_node`` (15-state: position, orientation, linear velocity,
+angular velocity, linear acceleration) configured purely through YAML/launch
+(``sam_dead_reckoning/launch/dual_ekf_test.launch:100-230``,
+``params/ekf_sam.yaml``): a *local* filter fusing depth pose + DVL twist +
+SBG yaw/yaw-rate + STIM roll/pitch/rates with a thrust-derived control
+input, and a *global* filter adding GPS x/y. This module is that estimator
+family rebuilt TPU-first:
+
+* the omega-kinematics transition runs as a pure function and its 15×15
+  Jacobian comes from ``jax.jacfwd`` (robot_localization hand-derives it),
+* every sensor is a boolean 15-mask + noise diagonal (the YAML ``*_config``
+  matrices) applied as a masked identity measurement update — one fused
+  update per sensor channel per tick, no callback queues,
+* the control term reproduces robot_localization's acceleration shaping:
+  accel = gain·(cmd_vel − v) clamped to the acceleration limits
+  (``use_control``/``acceleration_limits`` block of the launch file),
+* both filters of the dual pair advance inside the same scanned tick.
+
+State layout (robot_localization order): [x y z, roll pitch yaw, vx vy vz,
+vroll vpitch vyaw, ax ay az]; velocities body-frame, position world-frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.timeline import Timeline, build_timeline
+from ..utils.geometry import rotmat_from_rpy, wrap_angle
+from ..utils.linalg import spd_solve, symmetrize
+
+STATE_DIM = 15
+POS, ATT, VEL, RATE, ACC = slice(0, 3), slice(3, 6), slice(6, 9), slice(9, 12), slice(12, 15)
+_ANGLE_IDX = np.array([3, 4, 5])
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorSpec15:
+    """One fused input: which state components it measures + its noise."""
+
+    channel: str
+    mask: Tuple[bool, ...]        # 15 bools (the YAML *_config matrix)
+    noise_diag: Tuple[float, ...]  # 15-wide; only masked entries used
+    timeout_s: float = 0.1        # sensor_timeout (launch :104)
+
+
+# the reference's local-filter wiring (dual_ekf_test.launch:131-205)
+LOCAL_SENSORS = (
+    SensorSpec15(  # depth pose: z only
+        "depth", (False,) * 2 + (True,) + (False,) * 12, (0.0,) * 2 + (0.01,) + (0.0,) * 12
+    ),
+    SensorSpec15(  # DVL twist: vx, vy
+        "dvl",
+        (False,) * 6 + (True, True, False) + (False,) * 6,
+        (0.0,) * 6 + (0.01, 0.01, 0.0) + (0.0,) * 6,
+    ),
+    SensorSpec15(  # SBG: yaw + yaw rate
+        "sbg",
+        (False,) * 5 + (True,) + (False,) * 5 + (True,) + (False,) * 3,
+        (0.0,) * 5 + (0.01,) + (0.0,) * 5 + (0.01,) + (0.0,) * 3,
+    ),
+    SensorSpec15(  # STIM: roll, pitch + roll/pitch rates
+        "stim",
+        (False,) * 3 + (True, True, False) + (False,) * 3 + (True, True, False) + (False,) * 3,
+        (0.0,) * 3 + (0.01, 0.01, 0.0) + (0.0,) * 3 + (0.01, 0.01, 0.0) + (0.0,) * 3,
+    ),
+)
+
+GLOBAL_SENSORS = LOCAL_SENSORS + (
+    SensorSpec15(  # GPS odometry: x, y
+        "gps", (True, True) + (False,) * 13, (1.0, 1.0) + (0.0,) * 13
+    ),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Ekf15Config:
+    frequency: float = 100.0
+    sensors: Tuple[SensorSpec15, ...] = LOCAL_SENSORS
+    # process noise from params/ekf_sam.yaml ekf_loc_local
+    process_noise_diag: Tuple[float, ...] = (
+        1e-3, 1e-2, 1e-2, 0.3, 0.3, 0.01, 0.5, 0.01, 0.1, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3
+    )
+    initial_cov_diag: Tuple[float, ...] = (
+        1e-3, 1e-3, 1e-3, 1.0, 1.0, 1e-1, 1e-3, 1e-3, 1e-3, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0
+    )
+    # control shaping (launch acceleration_limits/gains block)
+    use_control: bool = True
+    control_gains: Tuple[float, ...] = (0.1, 0.1, 0.0)
+    control_limits: Tuple[float, ...] = (0.1, 0.1, 0.0)
+
+
+class Ekf15State(NamedTuple):
+    x: jnp.ndarray      # (15,)
+    P: jnp.ndarray      # (15,15)
+    t_prev: jnp.ndarray
+
+
+def init_state(cfg: Ekf15Config, x0=None, dtype=jnp.float32) -> Ekf15State:
+    x = jnp.zeros(STATE_DIM, dtype) if x0 is None else jnp.asarray(x0, dtype)
+    return Ekf15State(
+        x=x,
+        P=jnp.diag(jnp.asarray(cfg.initial_cov_diag, dtype)),
+        t_prev=jnp.asarray(0.0, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transition
+# ---------------------------------------------------------------------------
+
+def _euler_rate_matrix(rpy: jnp.ndarray) -> jnp.ndarray:
+    """Body rates -> Euler angle rates."""
+    r, p = rpy[0], rpy[1]
+    sr, cr = jnp.sin(r), jnp.cos(r)
+    cp = jnp.cos(p)
+    tp = jnp.tan(p)
+    return jnp.asarray(
+        [
+            [1.0, sr * tp, cr * tp],
+            [0.0, cr, -sr],
+            [0.0, sr / cp, cr / cp],
+        ]
+    )
+
+
+def transition(x: jnp.ndarray, dt, accel_cmd: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Discrete omega-kinematics step (robot_localization's motion model)."""
+    pos, rpy, v, w, a = x[POS], x[ATT], x[VEL], x[RATE], x[ACC]
+    if accel_cmd is not None:
+        a = a + accel_cmd  # control-shaped acceleration adds to the state term
+    R = rotmat_from_rpy(rpy)
+    pos_n = pos + R @ (v * dt + 0.5 * a * dt * dt)
+    rpy_n = wrap_angle(rpy + _euler_rate_matrix(rpy) @ (w * dt))
+    v_n = v + a * dt
+    return jnp.concatenate([pos_n, rpy_n, v_n, w, x[ACC]])
+
+
+def control_accel(cfg: Ekf15Config, v: jnp.ndarray, cmd_vel: jnp.ndarray) -> jnp.ndarray:
+    """Control-to-acceleration shaping: gain·(cmd − v) clamped to limits."""
+    g = jnp.asarray(cfg.control_gains, v.dtype)
+    lim = jnp.asarray(cfg.control_limits, v.dtype)
+    return jnp.clip(g * (cmd_vel - v[:3]), -lim, lim)
+
+
+def predict(state: Ekf15State, cfg: Ekf15Config, dt, accel_cmd=None) -> Ekf15State:
+    f = lambda x: transition(x, dt, accel_cmd)
+    x_n = f(state.x)
+    F = jax.jacfwd(f)(state.x)
+    Q = jnp.diag(jnp.asarray(cfg.process_noise_diag, state.x.dtype)) * dt
+    P_n = symmetrize(F @ state.P @ F.T + Q)
+    return Ekf15State(x=x_n, P=P_n, t_prev=state.t_prev)
+
+
+# ---------------------------------------------------------------------------
+# masked identity update
+# ---------------------------------------------------------------------------
+
+def update(
+    state: Ekf15State,
+    z15: jnp.ndarray,       # (15,) measurement padded to full state layout
+    spec_mask: jnp.ndarray,  # (15,) bool
+    noise_diag: jnp.ndarray,
+    apply: jnp.ndarray,      # scalar bool: sensor fresh & within timeout
+) -> Ekf15State:
+    """EKF update through a masked identity H. Unmeasured components get a
+    huge noise instead of a shape change (static shapes; their Kalman gain
+    is ~0 and the `apply` flag gates the whole update anyway)."""
+    big = jnp.asarray(1e12, state.x.dtype)
+    r = jnp.where(spec_mask, jnp.maximum(noise_diag, 1e-9), big)
+    nu = z15 - state.x
+    nu = nu.at[_ANGLE_IDX].set(wrap_angle(nu[_ANGLE_IDX]))
+    nu = jnp.where(spec_mask, nu, 0.0)
+
+    S = state.P + jnp.diag(r)
+    K = spd_solve(S, state.P).T            # P S⁻¹ (H = I)
+    x_n = state.x + K @ nu
+    x_n = x_n.at[_ANGLE_IDX].set(wrap_angle(x_n[_ANGLE_IDX]))
+    P_n = symmetrize((jnp.eye(STATE_DIM, dtype=state.x.dtype) - K) @ state.P)
+
+    return Ekf15State(
+        x=jnp.where(apply, x_n, state.x),
+        P=jnp.where(apply, P_n, state.P),
+        t_prev=state.t_prev,
+    )
+
+
+# ---------------------------------------------------------------------------
+# tick + replay (dual pair)
+# ---------------------------------------------------------------------------
+
+def step(cfg: Ekf15Config, state: Ekf15State, tick) -> Tuple[Ekf15State, dict]:
+    t_now = tick.ticks
+    dt = jnp.maximum(t_now - state.t_prev, 0.0)
+
+    accel_cmd = None
+    if cfg.use_control and "cmd_vel" in tick.channels:
+        cmd = tick.channels["cmd_vel"]
+        accel_cmd = jnp.where(
+            cmd.valid, control_accel(cfg, state.x[VEL], cmd.value[0:3]), jnp.zeros(3)
+        )
+    st = predict(state, cfg, dt, accel_cmd)
+
+    for spec in cfg.sensors:
+        ch = tick.channels[spec.channel]
+        apply = ch.fresh & (ch.age < spec.timeout_s)
+        st = update(
+            st,
+            ch.value[0:STATE_DIM],
+            jnp.asarray(spec.mask),
+            jnp.asarray(spec.noise_diag, st.x.dtype),
+            apply,
+        )
+
+    st = st._replace(t_prev=t_now)
+    return st, {"x": st.x, "p_diag": jnp.diagonal(st.P)}
+
+
+def run(timeline: Timeline, cfg: Ekf15Config = Ekf15Config(), state0=None):
+    s0 = init_state(cfg) if state0 is None else state0
+
+    def body(state, tick):
+        return step(cfg, state, tick)
+
+    return jax.lax.scan(body, s0, timeline)
+
+
+def run_dual(
+    timeline_local: Timeline,
+    timeline_global: Timeline,
+    cfg_local: Ekf15Config = Ekf15Config(),
+    cfg_global: Ekf15Config = Ekf15Config(sensors=GLOBAL_SENSORS),
+):
+    """The dual-EKF pair: local (odom-frame, continuous sensors) + global
+    (map-frame, + GPS). Returns both runs; the map->odom correction is the
+    difference of their pose estimates (navsat/dual-EKF convention)."""
+    final_l, out_l = run(timeline_local, cfg_local)
+    final_g, out_g = run(timeline_global, cfg_global)
+    return (final_l, out_l), (final_g, out_g)
+
+
+def ekf15_timeline(mission, cfg: Ekf15Config, include_gps: bool = False) -> Timeline:
+    """Build the dual-EKF sensor timeline from a simulated mission: depth,
+    DVL, SBG (yaw/yaw-rate), STIM (roll/pitch/rates), cmd_vel, optional GPS,
+    each padded into the 15-wide state layout."""
+    from ..utils.geometry import rpy_from_quat
+
+    s = mission.streams
+    T15 = STATE_DIM
+
+    def pad(vals, idx):
+        out = np.zeros((len(vals), T15))
+        for k, i in enumerate(idx):
+            out[:, i] = vals[:, k]
+        return out
+
+    depth = pad(s["depth"]["values"], [2])
+    dvl = pad(s["dvl"]["values"][:, 0:2], [6, 7])
+
+    imu_q = s["imu"]["values"][:, 0:4]
+    rpy = np.asarray(jax.vmap(rpy_from_quat)(jnp.asarray(imu_q)))
+    gyro = s["imu"]["values"][:, 4:7]
+    sbg = pad(np.stack([rpy[:, 2], gyro[:, 2]], -1), [5, 11])
+    stim = pad(np.concatenate([rpy[:, 0:2], gyro[:, 0:2]], -1), [3, 4, 9, 10])
+
+    ctl = s["control"]["values"]
+    cmd = np.zeros((len(ctl), 3))
+    cmd[:, 0] = 0.3 * ctl[:, 0] / 400.0  # crude rpm -> speed command
+
+    channels = {
+        "depth": (s["depth"]["stamps"], depth),
+        "dvl": (s["dvl"]["stamps"], dvl),
+        "sbg": (s["imu"]["stamps"], sbg),
+        "stim": (s["imu"]["stamps"], stim),
+        "cmd_vel": (s["control"]["stamps"], cmd),
+    }
+    if include_gps:
+        channels["gps"] = (s["gps"]["stamps"], pad(s["gps"]["values"], [0, 1]))
+    return build_timeline(
+        t0=0.0, t1=mission.spec.duration_s, freq_hz=cfg.frequency, channels=channels
+    )

@@ -1,0 +1,120 @@
+"""Sensor conditioning & frame-bootstrap glue (reference layer L1).
+
+Pure-function equivalents of the small rospy conditioning nodes
+(SURVEY.md §2.3): GPS→UTM odometry with dual-antenna heading
+(``sam_dead_reckoning/scripts/gps_node.py:42-129``), the one-shot
+utm→map / map→odom frame bootstraps (``gps_node.py:49-66``,
+``dr_node.py:110-148``, ``uw_gps/scripts/aux_dr_node.py:62-113``),
+SBG yaw→heading (``yaw_2_heading.py:22-26``), GPS-track heading spoofing
+(``spoof_gps_imu.py``), covariance-overriding IMU republishing
+(``republish_yost_odom.py:31-60``), and lat/lon waypoint/buoy markers
+(``wp_vis_node.py:30-54``, ``algae_map.py:33-61``).
+
+Everything here is host-side preprocessing that runs once per fix/stream
+while building mission timelines — no ROS, no callbacks, no state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..utils import geodesy
+from ..utils.geometry import Transform, quat_from_rpy, rpy_from_quat
+import jax.numpy as jnp
+
+
+class UtmOdometry(NamedTuple):
+    easting: np.ndarray
+    northing: np.ndarray
+    heading: Optional[np.ndarray] = None  # dual-antenna only
+
+
+def gps_to_utm_odometry(lat_deg, lon_deg, zone: int, status=None) -> UtmOdometry:
+    """NavSatFix stream -> UTM odometry; fixes with status == -1 (no fix)
+    are dropped (``gps_node.py:42-44``)."""
+    lat = np.asarray(lat_deg, np.float64)
+    lon = np.asarray(lon_deg, np.float64)
+    if status is not None:
+        ok = np.asarray(status) != -1
+        lat, lon = lat[ok], lon[ok]
+    e, n = geodesy.latlon_to_utm(lat, lon, zone, xp=np)
+    return UtmOdometry(easting=e, northing=n)
+
+
+def dual_antenna_fix(
+    lat_prt, lon_prt, lat_stb, lon_stb, zone: int
+) -> UtmOdometry:
+    """Port/starboard antenna pair -> midpoint + heading
+    (``gps_node.py:81-94``): heading = atan2(ΔE, ΔN) − π/2 of prt−stb."""
+    e_p, n_p = geodesy.latlon_to_utm(np.asarray(lat_prt), np.asarray(lon_prt), zone, xp=np)
+    e_s, n_s = geodesy.latlon_to_utm(np.asarray(lat_stb), np.asarray(lon_stb), zone, xp=np)
+    d_n, d_e = n_p - n_s, e_p - e_s
+    heading = np.arctan2(d_e, d_n) - np.pi / 2.0
+    return UtmOdometry(
+        easting=(e_p + e_s) / 2.0, northing=(n_p + n_s) / 2.0, heading=heading
+    )
+
+
+def bootstrap_utm_map(first_easting: float, first_northing: float) -> Transform:
+    """One-shot static utm->map transform anchored at the first fix
+    (``gps_node.py:49-66``: identity rotation, translation = first fix)."""
+    return Transform.from_rpy_trans(
+        jnp.zeros(3), jnp.asarray([first_easting, first_northing, 0.0])
+    )
+
+
+def bootstrap_map_odom(
+    gps_map_xy: np.ndarray, sbg_heading_quat: np.ndarray
+) -> Transform:
+    """One-shot map->odom: translation = first GPS fix in map frame, yaw from
+    the SBG heading (``dr_node.py:110-148``; roll/pitch zeroed)."""
+    yaw = float(rpy_from_quat(jnp.asarray(sbg_heading_quat))[2])
+    return Transform.from_rpy_trans(
+        jnp.asarray([0.0, 0.0, yaw]),
+        jnp.asarray([float(gps_map_xy[0]), float(gps_map_xy[1]), 0.0]),
+    )
+
+
+def yaw_to_heading_deg(yaw_rad) -> np.ndarray:
+    """ENU yaw -> compass heading in degrees (``yaw_2_heading.py:22-26``:
+    heading = 90 − yaw°, wrapped to [0, 360))."""
+    deg = 90.0 - np.rad2deg(np.asarray(yaw_rad))
+    return np.mod(deg, 360.0)
+
+
+def spoof_heading_from_track(easting: np.ndarray, northing: np.ndarray,
+                             min_step: float = 0.05) -> np.ndarray:
+    """Heading spoofer for IMU-less tests (``spoof_gps_imu.py``): yaw from
+    consecutive GPS fixes; holds the previous value for sub-threshold steps."""
+    e = np.asarray(easting, np.float64)
+    n = np.asarray(northing, np.float64)
+    yaw = np.zeros(len(e))
+    last = 0.0
+    for i in range(1, len(e)):
+        de, dn = e[i] - e[i - 1], n[i] - n[i - 1]
+        if np.hypot(de, dn) >= min_step:
+            last = np.arctan2(dn, de)
+        yaw[i] = last
+    return yaw
+
+
+def override_covariances(
+    orientation_cov_diag: Tuple[float, float, float] = (0.01, 0.01, 0.01),
+    rate_cov_diag: Tuple[float, float, float] = (0.01, 0.01, 0.01),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The Yost-IMU republisher exists only to stamp sane covariances onto a
+    driver that reports zeros (``republish_yost_odom.py:31-60``)."""
+    return np.diag(orientation_cov_diag), np.diag(rate_cov_diag)
+
+
+def latlon_markers_to_map(
+    lats, lons, zone: int, utm_map: Transform, z: float = 0.0
+) -> np.ndarray:
+    """Waypoints / buoy fields given in lat/lon -> map-frame positions
+    (``wp_vis_node.py:30-54``, ``algae_map.py:33-61``)."""
+    e, n = geodesy.latlon_to_utm(np.asarray(lats), np.asarray(lons), zone, xp=np)
+    pts_utm = np.stack([e, n, np.full_like(e, z)], -1)
+    inv = utm_map.inverse()
+    return np.asarray(inv.apply(jnp.asarray(pts_utm, jnp.float32)))
