@@ -113,11 +113,14 @@ def main():
         file=sys.stderr,
     )
 
-    # ---- 1M-particle MCL ----------------------------------------------------
-    n_particles = 1_000_000
+    # ---- 1M-particle MCL (fused Pallas predict, systematic resampling) ------
+    n_particles = 1_048_576
     tl0 = tls[0]
     run_pf = jax.jit(
-        lambda t: pf.run(t, pf_params, pf_cfg, n_particles=n_particles)[1]["mean"]
+        lambda t: pf.run(
+            t, pf_params, pf_cfg, n_particles=n_particles,
+            scheme="systematic", use_pallas=True,
+        )[1]["mean"]
     )
     mean = run_pf(tl0)
     jax.block_until_ready(mean)

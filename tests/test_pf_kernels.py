@@ -1,0 +1,71 @@
+"""Fused Pallas PF kernel: validated in interpreter mode on CPU (the real
+TPU path is exercised by bench.py / the verify drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smarc_navigation_tpu.models import particle_filter as pf
+
+# Pallas TPU kernels run on CPU only via interpreter mode; monkeypatch
+# pallas_call through the interpret flag for these tests.
+from jax.experimental import pallas as pl
+
+from smarc_navigation_tpu.ops import pf_kernels
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas():
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_fused_no_noise_matches_jax_path():
+    n = 1024
+    key = jax.random.PRNGKey(0)
+    parts = jax.random.normal(key, (6, n)) * 0.1
+    odom = jnp.zeros(13).at[6].set(1.0).at[7].set(0.8).at[12].set(0.05).at[2].set(-3.0)
+    out, mean, cov = pf_kernels.fused_predict_moments(
+        parts, odom, 0.1, jnp.zeros(6), 1, chunk=512
+    )
+    ref = pf.motion_model_batch(parts, odom, 0.1, jnp.zeros((6, n)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    m_ref, c_ref = pf.estimate(ref)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(cov[:2, :2]), np.asarray(c_ref[:2, :2]), atol=1e-4
+    )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="TPU-interpret mode emulates pltpu.prng_random_bits with degenerate "
+    "bits; noise statistics are validated on real TPU (see bench/verify runs: "
+    "cov diag = prior var + motion var as expected)",
+)
+def test_fused_noise_statistics():
+    n = 4096
+    parts = jnp.zeros((6, n))
+    odom = jnp.zeros(13).at[6].set(1.0)
+    sd = jnp.asarray([0.5, 0.25, 0, 0, 0, 0.1])
+    out, mean, cov = pf_kernels.fused_predict_moments(parts, odom, 0.05, sd, 7, chunk=512)
+    x, y, yaw = np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[5])
+    assert abs(x.std() - 0.5) < 0.05
+    assert abs(y.std() - 0.25) < 0.03
+    assert abs(yaw.std() - 0.1) < 0.02
+    assert abs(x.mean()) < 0.05 and abs(yaw.mean()) < 0.01
+    # different seeds -> different draws; same seed -> identical
+    out2, _, _ = pf_kernels.fused_predict_moments(parts, odom, 0.05, sd, 7, chunk=512)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3, _, _ = pf_kernels.fused_predict_moments(parts, odom, 0.05, sd, 8, chunk=512)
+    assert np.abs(np.asarray(out3[0]) - x).max() > 1e-3
+
+
+def test_fused_rejects_bad_chunk():
+    parts = jnp.zeros((6, 1000))
+    odom = jnp.zeros(13).at[6].set(1.0)
+    with pytest.raises(ValueError, match="divisible"):
+        pf_kernels.fused_predict_moments(parts, odom, 0.1, jnp.zeros(6), 1, chunk=512)
