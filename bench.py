@@ -42,10 +42,10 @@ def main():
         q_mbes_diag=(0.1, 0.1, 0.1),
         r_diag=(1e-3,) * 6,
     )
-    B = 32  # fleet width (missions per chip)
+    B = 128  # fleet width (missions per chip; throughput saturates ~here)
 
     tls = []
-    for b in range(B):
+    for b in range(min(B, 16)):  # 16 distinct missions, tiled to B
         m = sim.simulate(
             sim.MissionSpec(
                 duration_s=duration,
@@ -82,6 +82,7 @@ def main():
                 events={"mbes": (det["stamps"], det["values"], det["burst"], cfg.max_obs)},
             )
         )
+    tls = (tls * ((B + len(tls) - 1) // len(tls)))[:B]
     batched = fleet.batch_timelines(tls)
     T = int(batched.ticks.shape[1])
 
@@ -136,11 +137,46 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- closed-loop Monte-Carlo raycast fleet -------------------------------
+    from smarc_navigation_tpu.ops import raycast
+    from smarc_navigation_tpu.parallel.fleet import run_raycast_fleet
+
+    B_rc = 256
+    T_rc = 301  # 30 s at 10 Hz
+    rng = np.random.default_rng(0)
+    ticks_rc = np.arange(T_rc) / cfg.system_freq
+    base_m = sim.simulate(sim.MissionSpec(duration_s=30.0, seed=1))
+    gt_one = base_m.gt_at(ticks_rc).astype(np.float32)
+    gt_tracks = jnp.asarray(np.tile(gt_one, (B_rc, 1, 1)))
+    lms = jnp.asarray(
+        rng.uniform([0, -20, -16], [40, 20, -12], (B_rc, 16, 3)), jnp.float32
+    )
+    lmm = jnp.ones((B_rc, 16), bool)
+    spec = raycast.MBESSpec(num_beams=64, floor_z=-16.0, rock_radius=1.2,
+                            swath_rad=2.4, max_range=40.0)
+    cfg_rc = dataclasses.replace(cfg, max_landmarks=32)
+    params_rc = slam.make_params(cfg_rc)
+    run_rc = jax.jit(
+        lambda g, l, m_: run_raycast_fleet(g, l, m_, cfg_rc, params_rc, spec)[1][0]
+    )
+    mus_rc = run_rc(gt_tracks, lms, lmm)
+    jax.block_until_ready(mus_rc)
+    t0 = time.perf_counter()
+    mus_rc = run_rc(gt_tracks, lms, lmm)
+    jax.block_until_ready(mus_rc)
+    dt_rc = time.perf_counter() - t0
+    rc_steps = B_rc * T_rc / dt_rc
+    print(
+        f"# raycast fleet: {B_rc} missions x {T_rc} ticks (render+perceive+slam) "
+        f"in {dt_rc:.3f}s -> {rc_steps:,.0f} closed-loop steps/s",
+        file=sys.stderr,
+    )
+
     value = slam_steps_per_sec
     print(
         json.dumps(
             {
-                "metric": "ekf_slam_filter_steps_per_sec_fleet32",
+                "metric": "ekf_slam_filter_steps_per_sec_fleet128",
                 "value": round(value, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(value / 10.0, 1),
@@ -148,6 +184,7 @@ def main():
                     "pf_particle_updates_per_sec_1M": round(pf_updates_per_sec, 1),
                     "pf_realtime_factor_1M_particles": round(T / cfg.system_freq / dt_pf, 1),
                     "slam_realtime_factor_aggregate": round(value / cfg.system_freq, 1),
+                    "raycast_fleet_closed_loop_steps_per_sec_256": round(rc_steps, 1),
                 },
             }
         )

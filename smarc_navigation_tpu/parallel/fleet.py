@@ -114,3 +114,44 @@ def run_fleet(
 def batch_timelines(timelines: list) -> Timeline:
     """Stack per-mission Timelines (same shapes) into one batched Timeline."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *timelines)
+
+
+def run_raycast_fleet(
+    gt_tracks: jnp.ndarray,      # (B, T, 6) per-mission vehicle trajectories
+    landmark_sets: jnp.ndarray,  # (B, L, 3) per-mission true rock fields
+    lm_masks: jnp.ndarray,       # (B, L)
+    slam_cfg: EKFSlamConfig,
+    slam_params: slam.SlamParams,
+    mbes_spec=None,
+    device_mesh=None,
+):
+    """Fully closed-loop Monte-Carlo fleet: per tick and per mission, render
+    an MBES ping against the mission's rock field (``ops.raycast``), extract
+    detections (``ops.sonar``), and run the SLAM update — everything inside
+    one jitted scan, no host in the loop. This is the BASELINE.json
+    "batched missions with simulated MBES ray-cast" configuration.
+
+    Returns (final SlamStates (B,...), per-tick (mu (B,T,6), n_active (B,T))).
+    """
+    from ..ops import raycast
+
+    spec = raycast.MBESSpec() if mbes_spec is None else mbes_spec
+
+    def mission(gt_track, lms, lmm):
+        def step_fn(state, pose):
+            pts, mask = raycast.ping_detections(
+                pose, lms, lmm, spec, max_detections=slam_cfg.max_obs
+            )
+            pred = slam.predict(state, pose, slam_params)
+            st, _ = slam.data_associate_update(
+                pred, pts, mask, slam_params, slam_cfg, slam.MBES
+            )
+            return st, (st.mu[0:6], st.n_active)
+
+        return jax.lax.scan(step_fn, slam.init_state(slam_cfg), gt_track)
+
+    if device_mesh is not None:
+        gt_tracks = mesh_lib.shard_missions(gt_tracks, device_mesh)
+        landmark_sets = mesh_lib.shard_missions(landmark_sets, device_mesh)
+        lm_masks = mesh_lib.shard_missions(lm_masks, device_mesh)
+    return jax.vmap(mission)(gt_tracks, landmark_sets, lm_masks)

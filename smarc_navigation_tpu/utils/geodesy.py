@@ -165,6 +165,35 @@ def sbg_to_enu_rates(gyro_ned: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def latlon_odometry_to_map(
+    lat_deg, lon_deg, q_ned: jnp.ndarray, zone: int,
+    map_origin_e: float, map_origin_n: float,
+):
+    """Lat/lon odometry -> local map-frame odometry: UTM conversion minus the
+    utm->map origin, orientation NED->ENU — the ``convert_lat_lon_odom``
+    service of ``tf_lat_lon_node.cpp:75-102``.
+
+    Returns (pos_map (...,3), q_enu (...,4)).
+    """
+    e, n = latlon_to_utm(lat_deg, lon_deg, zone)
+    pos = jnp.stack(
+        [e - map_origin_e, n - map_origin_n, jnp.zeros_like(jnp.asarray(e))], axis=-1
+    )
+    return pos, ned_to_enu_orientation(q_ned)
+
+
+def pose_to_geopoint(pos_map: jnp.ndarray, zone: int,
+                     map_origin_e: float, map_origin_n: float, xp=jnp):
+    """Map-frame position -> (lat, lon) — the 10 Hz tf->GeoPoint publisher of
+    ``tf_lat_lon_node.cpp:190-208``."""
+    return utm_to_latlon(
+        xp.asarray(pos_map[..., 0]) + map_origin_e,
+        xp.asarray(pos_map[..., 1]) + map_origin_n,
+        zone,
+        xp=xp,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pressure -> depth
 # ---------------------------------------------------------------------------

@@ -1,0 +1,72 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smarc_navigation_tpu.configs import EKFSlamConfig, PFConfig
+from smarc_navigation_tpu.io import sim
+from smarc_navigation_tpu.models import ekf_slam as slam
+from smarc_navigation_tpu.models import particle_filter as pf
+from smarc_navigation_tpu.ops import raycast
+from smarc_navigation_tpu.parallel import fleet, mesh as mesh_lib
+
+CFG = dataclasses.replace(
+    EKFSlamConfig(), max_landmarks=16, max_obs=4, mhl_dist_mbes=1.0,
+    q_mbes_diag=(0.25,) * 3, r_diag=(1e-3,) * 6,
+)
+
+
+def test_raycast_fleet_runs_and_maps():
+    B, T = 4, 60
+    ticks = np.arange(T) / CFG.system_freq
+    m = sim.simulate(sim.MissionSpec(duration_s=T / CFG.system_freq + 1))
+    gt = m.gt_at(ticks).astype(np.float32)
+    gt_tracks = jnp.asarray(np.tile(gt, (B, 1, 1)))
+    rng = np.random.default_rng(0)
+    lms = jnp.asarray(rng.uniform([0, -10, -15], [6, 10, -13], (B, 6, 3)), jnp.float32)
+    lmm = jnp.ones((B, 6), bool)
+    spec = raycast.MBESSpec(num_beams=32, floor_z=-15.0, rock_radius=1.2,
+                            swath_rad=2.4, max_range=40.0)
+    params = slam.make_params(CFG)
+    finals, (mus, nact) = jax.jit(
+        lambda g, l, mm: fleet.run_raycast_fleet(g, l, mm, CFG, params, spec)
+    )(gt_tracks, lms, lmm)
+    assert mus.shape == (B, T, 6)
+    assert bool(jnp.isfinite(mus).all())
+    # different rock fields -> per-mission landmark counts may differ but all run
+    assert finals.mu.shape[0] == B
+
+
+def test_raycast_fleet_sharded_over_mesh():
+    dmesh = mesh_lib.make_mesh(mission=4, particle=2)
+    B, T = 8, 20
+    ticks = np.arange(T) / CFG.system_freq
+    m = sim.simulate(sim.MissionSpec(duration_s=T / CFG.system_freq + 1))
+    gt = jnp.asarray(np.tile(m.gt_at(ticks).astype(np.float32), (B, 1, 1)))
+    rng = np.random.default_rng(1)
+    lms = jnp.asarray(rng.uniform([0, -10, -15], [4, 10, -13], (B, 4, 3)), jnp.float32)
+    lmm = jnp.ones((B, 4), bool)
+    params = slam.make_params(CFG)
+    finals, (mus, nact) = jax.jit(
+        lambda g, l, mm: fleet.run_raycast_fleet(
+            g, l, mm, CFG, params, raycast.MBESSpec(num_beams=32), device_mesh=dmesh
+        )
+    )(gt, lms, lmm)
+    assert bool(jnp.isfinite(mus).all())
+
+
+def test_full_fleet_step_runs():
+    """The fused SLAM+PF fleet used by dryrun_multichip, unsharded."""
+    import __graft_entry__ as ge
+
+    cfg, params, _ = ge._slam_setup(max_landmarks=8, max_obs=4)
+    pf_cfg = PFConfig(particle_count=32)
+    pf_params = pf.make_params(pf_cfg)
+    tls = [ge._tiny_timeline(cfg, T=4, seed=i) for i in range(3)]
+    batched = fleet.batch_timelines(tls)
+    final, out = jax.jit(
+        lambda t: fleet.run_fleet(t, cfg, params, pf_cfg, pf_params, 32)
+    )(batched)
+    assert final.pf.particles.shape == (3, 6, 32)
+    assert bool(jnp.isfinite(out["pf"]["mean"]).all())

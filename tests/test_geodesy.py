@@ -102,3 +102,16 @@ def test_pressure_to_depth():
     depth, valid = gd.pressure_to_depth(jnp.array([100000.0, 117000.0, 50000.0, 600000.0]))
     np.testing.assert_allclose(np.asarray(depth)[:2], [0.0, -1.7], atol=1e-5)
     np.testing.assert_array_equal(np.asarray(valid), [True, True, False, False])
+
+
+def test_latlon_odometry_to_map_roundtrip():
+    import jax.numpy as jnp
+    from smarc_navigation_tpu.utils.geometry import quat_from_rpy
+
+    zone = 34
+    e0, n0 = gd.latlon_to_utm(59.35, 18.07, zone, xp=np)
+    q_ned = quat_from_rpy(jnp.zeros(3))
+    pos, q_enu = gd.latlon_odometry_to_map(59.35, 18.07, q_ned, zone, float(e0), float(n0))
+    np.testing.assert_allclose(np.asarray(pos), 0.0, atol=1.0)  # f32 device path
+    lat, lon = gd.pose_to_geopoint(np.zeros(3), zone, float(e0), float(n0), xp=np)
+    assert abs(float(lat) - 59.35) < 1e-9 and abs(float(lon) - 18.07) < 1e-9

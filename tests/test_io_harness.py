@@ -120,3 +120,19 @@ def test_raycast_no_landmarks_sees_floor_only():
     assert (np.asarray(intens) == spec.base_intensity).all()
     pts, dmask = raycast.ping_detections(pose, lm, mask, spec)
     assert int(jnp.sum(dmask)) == 0
+
+
+def test_nees_nis_consistency_metrics():
+    """NEES/NIS of synthetic Gaussian errors average to the state dimension."""
+    from smarc_navigation_tpu.io import metrics as mx
+
+    rng = np.random.default_rng(0)
+    T, n = 4000, 3
+    L = np.linalg.cholesky(np.array([[2.0, 0.3, 0.0], [0.3, 1.0, 0.1], [0.0, 0.1, 0.5]]))
+    errs = (L @ rng.normal(size=(n, T))).T
+    Sigma = np.tile(L @ L.T, (T, 1, 1))
+    nees = np.asarray(mx.nees(jnp.asarray(errs, jnp.float32), jnp.asarray(Sigma, jnp.float32)))
+    assert abs(nees.mean() - n) < 0.2, nees.mean()
+    nis = np.asarray(mx.nis(jnp.asarray(errs, jnp.float32), jnp.asarray(Sigma, jnp.float32),
+                            mask=jnp.ones(T, bool)))
+    assert abs(nis.mean() - n) < 0.2
