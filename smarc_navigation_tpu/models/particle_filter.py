@@ -191,6 +191,11 @@ def update_resample(
     logw = -0.5 * (dx * dx + dy * dy) / params.meas_var - jnp.log(
         2 * jnp.pi * params.meas_var
     )
+    # fault tolerance: a non-finite particle carries no likelihood — it gets
+    # zero weight and is culled by the resample instead of poisoning the
+    # whole bank through logsumexp (NaNs otherwise wash through to garbage
+    # ancestor indices)
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
     # reference floor: weights += 1e-200 then normalize (auv_pf.py:163-166)
     w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
     w = w + 1e-30

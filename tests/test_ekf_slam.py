@@ -201,3 +201,40 @@ def test_map_to_odom_correction_identity_when_consistent():
     tf = slam.map_to_odom_correction(mu, mu)
     np.testing.assert_allclose(np.asarray(tf.trans), 0.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(tf.rot), np.eye(3), atol=1e-5)
+
+
+def test_fls_detections_end_to_end():
+    """FLS pixel detections (second sensor pass) drive landmark mapping."""
+    params = slam.make_params(CFG)
+    # landmarks in the vehicle's FLS plane (z ~ vehicle depth), ahead of it
+    true_lms = np.array([[8.0, 2.0, -1.0], [12.0, -3.0, -1.0]])
+    T = 40
+    ticks = (np.arange(T) + 1) / CFG.system_freq
+    poses = np.zeros((T, 6), np.float32)
+    poses[:, 0] = 0.2 * np.arange(T)   # drive forward
+    poses[:, 2] = -1.0
+
+    # synthesize pixel measurements with the model itself
+    det_stamps, det_vals, det_burst = [], [], []
+    for k, t in enumerate(ticks):
+        for lm in true_lms:
+            z_px = np.asarray(slam.h_fls(jnp.asarray(poses[k]), jnp.asarray(lm, jnp.float32), params))
+            if z_px[0] > 0:
+                det_stamps.append(t)
+                det_vals.append([z_px[0], z_px[1], 0.0])
+                det_burst.append(k)
+
+    from smarc_navigation_tpu.ops.timeline import build_timeline
+
+    tl = build_timeline(
+        0.0, T / CFG.system_freq, CFG.system_freq,
+        channels={"odom": (ticks, poses)},
+        events={"fls": (np.asarray(det_stamps), np.asarray(det_vals),
+                        np.asarray(det_burst), CFG.max_obs)},
+    )
+    final, out = jax.jit(lambda t: slam.run(t, params, CFG))(tl)
+    assert int(final.n_active) == 2, int(final.n_active)
+    lm_est, act = slam.landmarks_map(final, CFG)
+    est = np.asarray(lm_est)[np.asarray(act)]
+    d = np.linalg.norm(est[:, None, :2] - true_lms[None, :, :2], axis=-1).min(axis=1)
+    assert d.max() < 1.0, (est, d)
