@@ -51,7 +51,7 @@ from ..configs import EKFSlamConfig
 from ..ops import assignment
 from ..ops.timeline import Timeline, build_timeline
 from ..utils.geometry import Transform, rotmat_from_rpy, wrap_angle
-from ..utils.linalg import chi2_quantile, spd_inverse
+from ..utils.linalg import chi2_quantile, inv_small, spd_inverse
 
 
 class SlamParams(NamedTuple):
@@ -282,9 +282,22 @@ def data_associate_update(
         return zh, jnp.concatenate([Hp, Hl], axis=1)                  # (dim,9)
 
     z_hat, H = jax.vmap(corr)(lm_all)                                  # (L,dim),(L,dim,9)
-    Sig9 = jax.vmap(lambda j: _gather9(Sigma, j))(jnp.arange(L))       # (L,9,9)
-    S = jnp.einsum("lij,ljk,lmk->lim", H, Sig9, H) + Q                 # (L,dim,dim)
-    S_inv = spd_inverse(S)                                             # (L,dim,dim)
+    # structured 9-marginal blocks (strided slices/diagonals instead of the
+    # (L,9,9) arbitrary-index gather, which dominated the fleet profile)
+    Spp = Sigma[0:6, 0:6]                                              # (6,6)
+    Spl = Sigma[0:6, 6:].reshape(6, L, 3).transpose(1, 0, 2)           # (L,6,3)
+    Sll = jnp.einsum(
+        "iaib->iab", Sigma[6:, 6:].reshape(L, 3, L, 3)
+    )                                                                  # (L,3,3)
+    Hp_, Hl_ = H[:, :, 0:6], H[:, :, 6:9]
+    S = (
+        jnp.einsum("ldi,ij,lej->lde", Hp_, Spp, Hp_)
+        + jnp.einsum("ldi,lik,lek->lde", Hp_, Spl, Hl_)
+        + jnp.einsum("ldk,lik,lei->lde", Hl_, Spl, Hp_)
+        + jnp.einsum("ldi,lik,lek->lde", Hl_, Sll, Hl_)
+        + Q
+    )                                                                  # (L,dim,dim)
+    S_inv = inv_small(S)                                               # (L,dim,dim)
     nu = z_d[None, :, :] - z_hat[:, None, :]                           # (L,M,dim)
     d_m = jnp.einsum("lmi,lij,lmj->lm", nu, S_inv, nu)                 # (L,M)
 
@@ -300,7 +313,7 @@ def data_associate_update(
         Sig9c = Sig9c.at[0:6, 0:6].set(Sigma[0:6, 0:6])
         Sig9c = Sig9c.at[6:9, 6:9].set(jnp.diag(jnp.asarray(sensor.new_lm_cov, f32)))
         Sc = Hc @ Sig9c @ Hc.T + Q
-        return Hc, spd_inverse(Sc), zi[:dim] - zh
+        return Hc, inv_small(Sc), zi[:dim] - zh
 
     H_cand, S_inv_cand, nu_cand = jax.vmap(cand_corr)(cand, z)         # (M,...)
 
@@ -334,10 +347,14 @@ def data_associate_update(
         add = do & is_new
         mu_add = jax.lax.dynamic_update_slice(mu, c_i.astype(f32), (lm_ix,))
         mu = jax.lax.select(add, mu_add, mu)
-        Sigma_add = Sigma.at[idx3[:, None], jnp.arange(Dfull)[None, :]].set(0.0)
-        Sigma_add = Sigma_add.at[jnp.arange(Dfull)[:, None], idx3[None, :]].set(0.0)
-        Sigma_add = Sigma_add.at[idx3[:, None], idx3[None, :]].set(
-            jnp.diag(jnp.asarray(sensor.new_lm_cov, f32))
+        Sigma_add = jax.lax.dynamic_update_slice(
+            Sigma, jnp.zeros((3, Dfull), f32), (lm_ix, 0)
+        )
+        Sigma_add = jax.lax.dynamic_update_slice(
+            Sigma_add, jnp.zeros((Dfull, 3), f32), (0, lm_ix)
+        )
+        Sigma_add = jax.lax.dynamic_update_slice(
+            Sigma_add, jnp.diag(jnp.asarray(sensor.new_lm_cov, f32)), (lm_ix, lm_ix)
         )
         Sigma = jax.lax.select(add, Sigma_add, Sigma)
         active = jnp.where(add, active.at[slot].set(True), active)
@@ -348,40 +365,172 @@ def data_associate_update(
         nu_i = jnp.where(is_new, nuc_i, nu_row[r_clip])
 
         idx9 = _gather_idx9(slot)
-        if update_mode == "marginal":
-            Sig9 = Sigma[idx9[:, None], idx9[None, :]]
-            K = Sig9 @ H_i.T @ Sinv_i                                  # (9,dim)
-            delta = K @ nu_i                                           # (9,)
-            mu_new = mu.at[0:6].add(delta[0:6])
-            mu_new = mu_new.at[3:6].set(wrap_angle(mu_new[3:6]))
-            mu_new = jax.lax.dynamic_update_slice(
-                mu_new,
-                jax.lax.dynamic_slice(mu_new, (lm_ix,), (3,)) + delta[6:9],
-                (lm_ix,),
-            )
-            Sig9_new = (jnp.eye(9, dtype=f32) - K @ H_i) @ Sig9
-            Sigma_new = Sigma.at[idx9[:, None], idx9[None, :]].set(Sig9_new)
-        else:
-            # full-state gain: H_full = H_i scattered onto (pose, slot) cols
-            Sig_cols = Sigma[:, idx9]                                  # (D,9)
-            K = Sig_cols @ (H_i.T @ Sinv_i)                            # (D,dim)
-            delta = K @ nu_i                                           # (D,)
-            mu_new = mu + delta
-            mu_new = mu_new.at[3:6].set(wrap_angle(mu_new[3:6]))
-            HS = H_i @ Sig_cols.T                                      # (dim,D)
-            Sigma_new = Sigma - K @ HS
-            Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
+        Sig9 = Sigma[idx9[:, None], idx9[None, :]]
+        K = Sig9 @ H_i.T @ Sinv_i                                  # (9,dim)
+        delta = K @ nu_i                                           # (9,)
+        mu_new = mu.at[0:6].add(delta[0:6])
+        mu_new = mu_new.at[3:6].set(wrap_angle(mu_new[3:6]))
+        mu_new = jax.lax.dynamic_update_slice(
+            mu_new,
+            jax.lax.dynamic_slice(mu_new, (lm_ix,), (3,)) + delta[6:9],
+            (lm_ix,),
+        )
+        Sig9_new = (jnp.eye(9, dtype=f32) - K @ H_i) @ Sig9
+        Sigma_new = Sigma.at[idx9[:, None], idx9[None, :]].set(Sig9_new)
 
         mu = jax.lax.select(do, mu_new, mu)
         Sigma = jax.lax.select(do, Sigma_new, Sigma)
         return (mu, Sigma, active, n_active), jnp.where(do, slot, -1)
 
-    carry0 = (mu, Sigma, state.active, state.n_active)
-    (mu, Sigma, active, n_active), matched = jax.lax.scan(
-        upd2,
-        carry0,
-        (col_to_row, z_mask, cand, H_cand, S_inv_cand, nu_cand, nu_known_per_obs),
-    )
+    def upd_lowrank(carry, xs):
+        """Full-covariance sequential update with the Σ feedback carried as
+        low-rank correction factors instead of the dense matrix.
+
+        At update j the gain only needs the CURRENT Σ's nine (pose, slot)
+        rows (Σ symmetric). With Σ_j = Σ_base − Σ_{k<j} U_kᵀ V_k
+        (U_k = K_kᵀ, V_k = H_k Σ_j[idx9,:], both (dim, D)) those rows are a
+        (M·dim)-rank correction of Σ0's rows — the scan carries ~40 KB
+        instead of rewriting the dense (D, D) Σ eight times per tick.
+        Everything is kept in (small, D) layout: trailing dims of 3/9 would
+        lane-pad 9→128 on TPU and cost 14× the memory traffic. Landmark
+        activations are recorded as (slot, diag) pairs: inactive slots'
+        rows/columns are zero by invariant, so activation is an additive
+        diagonal block. Algebraically identical to the in-place sequence
+        (one final symmetrize instead of per-update)."""
+        mu, Ut, Vt, act_slots, act_cov_on, active, n_active, j = carry
+        r, valid, c_i, Hc_i, Sic_i, nuc_i, nu_row = xs
+        is_new = r >= L
+        r_clip = jnp.clip(r, 0, L - 1)
+        can_add = is_new & (n_active < L)
+        do = valid & (can_add | ~is_new)
+        slot = jnp.where(is_new, n_active, r_clip)
+        lm_ix = 6 + 3 * slot
+        Dfull = mu.shape[0]
+
+        add = do & is_new
+        mu_add = jax.lax.dynamic_update_slice(mu, c_i.astype(f32), (lm_ix,))
+        mu = jax.lax.select(add, mu_add, mu)
+        act_slots = jnp.where(add, act_slots.at[j].set(slot), act_slots)
+        act_cov_on = jnp.where(add, act_cov_on.at[j].set(True), act_cov_on)
+        active = jnp.where(add, active.at[slot].set(True), active)
+        n_active = jnp.where(add, n_active + 1, n_active)
+
+        H_i = jnp.where(is_new, Hc_i, H[r_clip])           # (dim,9)
+        Sinv_i = jnp.where(is_new, Sic_i, S_inv[r_clip])   # (dim,dim)
+        nu_i = jnp.where(is_new, nuc_i, nu_row[r_clip])    # (dim,)
+
+        # current Σ's (pose, slot) ROWS: base + activation − corrections
+        rows = jnp.concatenate(
+            [Sigma0_pose_rows, jax.lax.dynamic_slice(Sigma, (lm_ix, 0), (3, Dfull))],
+            axis=0,
+        )                                                  # (9,D)
+        was_act = jnp.any(act_cov_on & (act_slots == slot))
+        diag_blk = jnp.diag(jnp.asarray(sensor.new_lm_cov, f32)) * was_act
+        rows = jax.lax.dynamic_update_slice(
+            rows,
+            jax.lax.dynamic_slice(rows, (6, lm_ix), (3, 3)) + diag_blk,
+            (6, lm_ix),
+        )
+        # corrections: rows(idx9) of Σ_k U_kᵀV_k = (U_k cols idx9)ᵀ V_k
+        U9 = jnp.concatenate(
+            [Ut[:, :, 0:6], jax.lax.dynamic_slice(Ut, (0, 0, lm_ix), (M, dim, 3))],
+            axis=2,
+        )                                                  # (M,dim,9)
+        rows = rows - jnp.einsum("kir,kid->rd", U9, Vt)
+
+        Kt = (Sinv_i @ H_i) @ rows                         # (dim,D) = Kᵀ
+        delta = nu_i @ Kt                                  # (D,)
+        mu_new = mu + delta
+        mu_new = mu_new.at[3:6].set(wrap_angle(mu_new[3:6]))
+        mu = jax.lax.select(do, mu_new, mu)
+
+        Vt_i = H_i @ rows                                  # (dim,D)
+        Ut = jnp.where(do, Ut.at[j].set(Kt), Ut)
+        Vt = jnp.where(do, Vt.at[j].set(Vt_i), Vt)
+        return (mu, Ut, Vt, act_slots, act_cov_on, active, n_active, j + 1), jnp.where(
+            do, slot, -1
+        )
+
+    def upd_dense(carry, xs):
+        """Full-covariance update carrying the dense Σ (cheaper than the
+        low-rank form below ~48 landmark slots, where Σ row rewrites are
+        small compared with the fixed per-op cost of the correction chain)."""
+        mu, Sigma, active, n_active = carry
+        r, valid, c_i, Hc_i, Sic_i, nuc_i, nu_row = xs
+        is_new = r >= L
+        r_clip = jnp.clip(r, 0, L - 1)
+        can_add = is_new & (n_active < L)
+        do = valid & (can_add | ~is_new)
+        slot = jnp.where(is_new, n_active, r_clip)
+        lm_ix = 6 + 3 * slot
+        Dfull = Sigma.shape[0]
+
+        add = do & is_new
+        mu_add = jax.lax.dynamic_update_slice(mu, c_i.astype(f32), (lm_ix,))
+        mu = jax.lax.select(add, mu_add, mu)
+        Sigma_add = jax.lax.dynamic_update_slice(
+            Sigma, jnp.diag(jnp.asarray(sensor.new_lm_cov, f32)), (lm_ix, lm_ix)
+        )  # inactive rows/cols are zero by invariant; diag set == add
+        Sigma = jax.lax.select(add, Sigma_add, Sigma)
+        active = jnp.where(add, active.at[slot].set(True), active)
+        n_active = jnp.where(add, n_active + 1, n_active)
+
+        H_i = jnp.where(is_new, Hc_i, H[r_clip])
+        Sinv_i = jnp.where(is_new, Sic_i, S_inv[r_clip])
+        nu_i = jnp.where(is_new, nuc_i, nu_row[r_clip])
+
+        rows = jnp.concatenate(
+            [Sigma[0:6, :], jax.lax.dynamic_slice(Sigma, (lm_ix, 0), (3, Dfull))],
+            axis=0,
+        )                                                          # (9,D)
+        Kt = (Sinv_i @ H_i) @ rows                                 # (dim,D)
+        delta = nu_i @ Kt
+        mu_new = mu + delta
+        mu_new = mu_new.at[3:6].set(wrap_angle(mu_new[3:6]))
+        Vt_i = H_i @ rows                                          # (dim,D)
+        Sigma_new = Sigma - Kt.T @ Vt_i
+        Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
+
+        mu = jax.lax.select(do, mu_new, mu)
+        Sigma = jax.lax.select(do, Sigma_new, Sigma)
+        return (mu, Sigma, active, n_active), jnp.where(do, slot, -1)
+
+    xs = (col_to_row, z_mask, cand, H_cand, S_inv_cand, nu_cand, nu_known_per_obs)
+    if update_mode == "marginal":
+        carry0 = (mu, Sigma, state.active, state.n_active)
+        (mu, Sigma, active, n_active), matched = jax.lax.scan(upd2, carry0, xs)
+    elif L <= 48:
+        carry0 = (mu, Sigma, state.active, state.n_active)
+        (mu, Sigma, active, n_active), matched = jax.lax.scan(upd_dense, carry0, xs)
+    else:
+        D = mu.shape[0]
+        Sigma0_pose_rows = Sigma[0:6, :]
+        carry0 = (
+            mu,
+            jnp.zeros((M, dim, D), f32),
+            jnp.zeros((M, dim, D), f32),
+            jnp.full(M, -1, jnp.int32),
+            jnp.zeros(M, bool),
+            state.active,
+            state.n_active,
+            jnp.asarray(0, jnp.int32),
+        )
+        (mu, Ut, Vt, act_slots, act_cov_on, active, n_active, _), matched = jax.lax.scan(
+            upd_lowrank, carry0, xs
+        )
+        # reconstruct Σ once: activations (additive diag blocks on zero
+        # rows/cols) then the rank-(M·dim) correction, then symmetrize
+        def apply_act(k, Sg):
+            lm_ix = 6 + 3 * jnp.clip(act_slots[k], 0, L - 1)
+            blk = jax.lax.dynamic_slice(Sg, (lm_ix, lm_ix), (3, 3)) + jnp.diag(
+                jnp.asarray(sensor.new_lm_cov, f32)
+            ) * act_cov_on[k]
+            return jax.lax.dynamic_update_slice(Sg, blk, (lm_ix, lm_ix))
+
+        Sigma = jax.lax.fori_loop(0, M, apply_act, Sigma)
+        Sigma = Sigma - jnp.einsum("kid,kie->de", Ut, Vt)
+        Sigma = 0.5 * (Sigma + Sigma.T)
+
     new_state = SlamState(
         mu=mu, Sigma=Sigma, active=active, n_active=n_active,
         mu_auv_odom=state.mu_auv_odom,
