@@ -182,6 +182,7 @@ def update_resample(
     gps_map_xy: jnp.ndarray,
     params: PFParams,
     scheme: str = "residual",
+    use_pallas: bool = False,
 ) -> PFState:
     key, k_res, k_noise = jax.random.split(state.key, 3)
     # batched log-weights: (3,3) @ (3,N) + fused row math
@@ -201,8 +202,15 @@ def update_resample(
     w = w + 1e-30
     w = w / jnp.sum(w)
 
-    idx = resampling.SCHEMES[scheme](k_res, w)
-    parts = state.particles[:, idx]
+    if use_pallas and scheme == "systematic":
+        # fused Pallas resample+gather (monotone-window MXU expansion) —
+        # bit-identical ancestors to resampling.systematic_resample
+        from ..ops import pf_kernels
+
+        parts = pf_kernels.systematic_resample_gather(state.particles, w, k_res)
+    else:
+        idx = resampling.SCHEMES[scheme](k_res, w)
+        parts = state.particles[:, idx]
     n = parts.shape[1]
     noise = jax.random.normal(k_noise, (6, n), parts.dtype) * jnp.sqrt(
         params.res_noise_cov
@@ -278,7 +286,7 @@ def step(
     do_update = gps.fresh & (diving.value[0] < 0.5)
     new_state = jax.lax.cond(
         do_update,
-        lambda s: update_resample(s, gps.value[0:2], params, scheme),
+        lambda s: update_resample(s, gps.value[0:2], params, scheme, use_pallas),
         lambda s: s,
         pred,
     )

@@ -31,6 +31,100 @@ _TWO_PI = 6.283185307179586
 N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 
 
+# ===========================================================================
+# fused systematic resample + gather
+# ===========================================================================
+#
+# The XLA formulation of systematic resampling plateaus at ~14 ms per
+# resample at 2^20 particles: the ancestor expansion needs either a random
+# scatter (~8 ms) or a sort (~18 ms), and the bank gather by random column
+# indices costs ~4 ms. But systematic ancestors are MONOTONE: output block
+# [cK, (c+1)K) draws from a contiguous input window of at most K ancestors.
+# So each grid step DMAs its (6, W) particle window + (1, W) count-prefix
+# window into VMEM, builds the block's one-hot expansion from two shifted
+# comparisons (monotone rows), and gathers via one (6, W) @ (W, K) MXU
+# matmul. No scatter, no sort, no HBM random access.
+
+
+def _resample_kernel(scalars_ref, mcum_ref, parts_ref, out_ref, mwin, pwin, sems):
+    c = pl.program_id(0)
+    K = out_ref.shape[1]
+    W = mwin.shape[1]
+    s_eff = pl.multiple_of(scalars_ref[c], 128)  # host pre-aligns to the lane tile
+
+    cp_m = pltpu.make_async_copy(mcum_ref.at[:, pl.ds(s_eff, W)], mwin, sems.at[0])
+    cp_p = pltpu.make_async_copy(parts_ref.at[:, pl.ds(s_eff, W)], pwin, sems.at[1])
+    cp_m.start()
+    cp_p.start()
+    cp_m.wait()
+    cp_p.wait()
+
+    # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i (m_cum sorted)
+    j_global = c * K + jax.lax.broadcasted_iota(jnp.int32, (W, K), 1)
+    mw = mwin[0, :]
+    A = (mw[:, None] > j_global).astype(jnp.float32)               # (W,K)
+    A_prev = jnp.concatenate([jnp.zeros((1, K), jnp.float32), A[:-1, :]], axis=0)
+    onehot = A - A_prev                                            # (W,K) 0/1
+
+    out_ref[:, :] = jnp.dot(pwin[:, :], onehot, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def systematic_resample_gather(
+    parts: jnp.ndarray,    # (6, N)
+    weights: jnp.ndarray,  # (N,) normalized
+    key,
+    block: int = 512,
+) -> jnp.ndarray:
+    """Systematic resample + ancestor gather in one fused pass -> (6, N)."""
+    n = parts.shape[1]
+    # window: ≤ block+1 distinct ancestors per output block, +127 alignment
+    # slack (Mosaic requires lane-tile-aligned DMA starts)
+    W = block + 256
+    if n % block or n < W:
+        raise ValueError(f"particle count {n} must be divisible by {block} and > {W}")
+    grid = n // block
+
+    u = jax.random.uniform(key, (), jnp.float32)
+    cdf = jnp.cumsum(weights)
+    cdf = cdf.at[-1].set(1.0)
+    m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+
+    # per-block window starts (ancestor of the block's first slot), aligned
+    # down to the 128-lane tile and clamped into range
+    starts = jnp.searchsorted(
+        m_cum, jnp.arange(0, n, block, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    starts = jnp.clip((starts // 128) * 128, 0, n - W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, N) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # parts (6, N) in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (8, block), lambda c, s: (0, c), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.int32),
+            pltpu.VMEM((8, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # pad the 6 state rows to the sublane tile (8) for aligned DMA windows
+    parts8 = jnp.concatenate(
+        [parts.astype(jnp.float32), jnp.zeros((2, n), jnp.float32)], axis=0
+    )
+    out8 = pl.pallas_call(
+        _resample_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+    )(starts, m_cum[None, :], parts8)
+    return out8[0:6]
+
+
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 -> (0,1) float32 uniforms (24-bit mantissa, never 0).
 
