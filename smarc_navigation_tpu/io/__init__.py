@@ -1,1 +1,1 @@
-from . import map_server, metrics, observability, replay, sim  # noqa: F401
+from . import map_server, metrics, observability, replay, sim, uw_gps  # noqa: F401

@@ -1,1 +1,9 @@
-from . import dead_reckoning, motion_model  # noqa: F401
+from . import (  # noqa: F401
+    dead_reckoning,
+    ekf_15state,
+    ekf_localization,
+    ekf_slam,
+    motion_model,
+    particle_filter,
+    sensors,
+)

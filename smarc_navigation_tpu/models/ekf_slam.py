@@ -51,7 +51,7 @@ from ..configs import EKFSlamConfig
 from ..ops import assignment
 from ..ops.timeline import Timeline, build_timeline
 from ..utils.geometry import Transform, rotmat_from_rpy, wrap_angle
-from ..utils.linalg import chi2_quantile, inv_small, spd_inverse
+from ..utils.linalg import chi2_quantile, inv_small
 
 
 class SlamParams(NamedTuple):

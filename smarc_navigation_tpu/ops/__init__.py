@@ -1,1 +1,10 @@
-from . import assignment, bezier, oned_kf, raycast, resampling, sonar, timeline  # noqa: F401
+from . import (  # noqa: F401
+    assignment,
+    bezier,
+    oned_kf,
+    pf_kernels,
+    raycast,
+    resampling,
+    sonar,
+    timeline,
+)
