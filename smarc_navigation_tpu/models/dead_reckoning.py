@@ -148,9 +148,13 @@ class OdomState(NamedTuple):
     kf: oned_kf.OneDKFState  # (3,) per-DVL-axis smoother
 
 
-def odom_init(cfg: OdomProviderConfig, dtype=jnp.float32) -> OdomState:
+def odom_init(cfg: OdomProviderConfig, init_pose=None, dtype=jnp.float32) -> OdomState:
+    """``init_pose``: starting 6-DOF pose — the reference initializes from
+    the ground-truth topic once its queues fill (``odom_provider.cpp:
+    261-284``); replays pass the first GT/GPS-derived pose."""
+    cumul = jnp.zeros(6, dtype) if init_pose is None else jnp.asarray(init_pose, dtype)
     return OdomState(
-        cumul=jnp.zeros(6, dtype),
+        cumul=cumul,
         t_prev=jnp.asarray(0.0, dtype),
         kf=oned_kf.init(cfg.kf_mu0, cfg.kf_sigma0, like=jnp.zeros(3, dtype)),
     )
@@ -198,6 +202,7 @@ def run_odom_provider(
     timeline: Timeline,
     cfg: OdomProviderConfig = OdomProviderConfig(),
     r_base_dvl: jnp.ndarray | None = None,
+    init_pose=None,
 ) -> jnp.ndarray:
     """Replay: -> (T, 6) accumulated odom pose per tick."""
     if r_base_dvl is None:
@@ -206,7 +211,7 @@ def run_odom_provider(
     def body(state, tick):
         return odom_step(cfg, r_base_dvl, state, tick)
 
-    _, out = jax.lax.scan(body, odom_init(cfg), timeline)
+    _, out = jax.lax.scan(body, odom_init(cfg, init_pose), timeline)
     return out
 
 

@@ -45,7 +45,8 @@ def _demo(args):
 
     # SLAM chain on odometry from the LoLo provider
     tlo = dr.odom_timeline(m)
-    odom = np.asarray(jax.jit(dr.run_odom_provider)(tlo))
+    gt0 = m.gt_at(np.asarray([0.0]))[0]  # gt init (odom_provider.cpp:261-284)
+    odom = np.asarray(jax.jit(lambda t: dr.run_odom_provider(t, init_pose=gt0.astype(np.float32)))(tlo))
     cfg = dataclasses.replace(
         EKFSlamConfig(), max_landmarks=64, max_obs=8, mhl_dist_mbes=1.0,
         q_mbes_diag=(0.1, 0.1, 0.1), r_diag=(1e-3,) * 6,
