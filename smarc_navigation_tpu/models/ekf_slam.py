@@ -247,7 +247,7 @@ def data_associate_update(
     cfg: EKFSlamConfig,
     sensor: SensorSpec,
     solver: str = "device",
-    update_mode: str = "full",
+    update_mode: str = "auto",
 ) -> Tuple[SlamState, jnp.ndarray]:
     """One batch-DA + sequential-update pass. Returns (state, col_to_row).
 
@@ -265,6 +265,9 @@ def data_associate_update(
     """
     L = cfg.max_landmarks
     dim = sensor.dim
+    if update_mode == "auto":
+        # whole-loop Pallas kernel on TPU; dense jax path elsewhere
+        update_mode = "pallas" if jax.default_backend() == "tpu" else "full"
     mu, Sigma = state.mu, state.Sigma
     pose = mu[0:6]
     lm_all = mu[6:].reshape(L, 3)
@@ -495,6 +498,49 @@ def data_associate_update(
         Sigma = jax.lax.select(do, Sigma_new, Sigma)
         return (mu, Sigma, active, n_active), jnp.where(do, slot, -1)
 
+    if update_mode == "pallas":
+        # whole-update-loop TPU kernel (ops.slam_kernels): slots/activations
+        # precomputed vectorized-exactly (capacity denials are monotone:
+        # once the bank is full it stays full, so the running-count check
+        # reduces to an exclusive cumsum)
+        from ..ops import slam_kernels
+
+        is_new = col_to_row >= L
+        r_clip = jnp.clip(col_to_row, 0, L - 1)
+        adds = z_mask & is_new
+        cum_excl = jnp.cumsum(adds) - adds.astype(jnp.int32)
+        can_add = adds & (state.n_active + cum_excl < L)
+        do = z_mask & (can_add | ~is_new)
+        new_slot = state.n_active + jnp.cumsum(can_add) - can_add.astype(jnp.int32)
+        slot = jnp.where(is_new, new_slot, r_clip)
+        lm_ix = 6 + 3 * slot
+
+        # candidate positions pre-written (their Σ rows are zero until the
+        # in-kernel activation, so earlier updates cannot touch them)
+        tgt = jnp.where(can_add[:, None], lm_ix[:, None] + jnp.arange(3), mu.shape[0])
+        mu = mu.at[tgt.reshape(-1)].set(
+            cand.astype(f32).reshape(-1), mode="drop"
+        )
+        active = state.active.at[jnp.where(can_add, slot, L)].set(True, mode="drop")
+        n_active = state.n_active + jnp.sum(can_add)
+
+        obs_ar = jnp.arange(M)
+        H_sel = jnp.where(is_new[:, None, None], H_cand, H[r_clip])
+        Sinv_sel = jnp.where(is_new[:, None, None], S_inv_cand, S_inv[r_clip])
+        nu_sel = jnp.where(is_new[:, None], nu_cand, nu[r_clip, obs_ar])
+        SinvH = jnp.einsum("mij,mjk->mik", Sinv_sel, H_sel)
+
+        Sigma, mu = slam_kernels.sequential_update(
+            Sigma, mu, H_sel, SinvH, nu_sel, lm_ix, do, can_add,
+            jnp.asarray(sensor.new_lm_cov, f32),
+        )
+        matched = jnp.where(do, slot, -1)
+        new_state = SlamState(
+            mu=mu, Sigma=Sigma, active=active, n_active=n_active,
+            mu_auv_odom=state.mu_auv_odom,
+        )
+        return new_state, matched
+
     xs = (col_to_row, z_mask, cand, H_cand, S_inv_cand, nu_cand, nu_known_per_obs)
     if update_mode == "marginal":
         carry0 = (mu, Sigma, state.active, state.n_active)
@@ -548,7 +594,7 @@ def step(
     state: SlamState,
     tick,
     solver: str = "device",
-    update_mode: str = "full",
+    update_mode: str = "auto",
 ):
     """One SLAM tick (``ekf_slam.cpp:296-350``): consume latest odometry,
     then run a DA pass per sensor whose burst is non-empty."""
@@ -606,7 +652,7 @@ def run(
     cfg: EKFSlamConfig = EKFSlamConfig(),
     state0: SlamState | None = None,
     solver: str = "device",
-    update_mode: str = "full",
+    update_mode: str = "auto",
 ):
     s0 = init_state(cfg) if state0 is None else state0
 
