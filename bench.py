@@ -137,6 +137,39 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- EKF localization fleet ----------------------------------------------
+    from smarc_navigation_tpu.configs import EKFLocConfig
+    from smarc_navigation_tpu.models import ekf_localization as loc
+
+    cfg_loc = dataclasses.replace(
+        EKFLocConfig(), stone_offset=0.0, r_diag=(1e-4,) * 3 + (1e-6,) * 3,
+        q_diag=(0.25,) * 3,
+    )
+    m_loc = sim.simulate(
+        sim.MissionSpec(duration_s=duration, num_landmarks=16, dvl_std=0.05,
+                        mbes_std=0.05, seed=7)
+    )
+    tl_loc = loc.loc_timeline(m_loc, cfg_loc)
+    params_loc = loc.make_params(m_loc.landmarks, cfg_loc)
+    B_loc = 64
+    batched_loc = fleet.batch_timelines([tl_loc] * B_loc)
+    T_loc = int(batched_loc.ticks.shape[1])
+    run_loc = jax.jit(
+        lambda t: jax.vmap(lambda x: loc.run(x, params_loc, cfg_loc)[1]["mu"][-1, 0])(t)
+    )
+    r = run_loc(batched_loc)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = run_loc(batched_loc)
+    jax.block_until_ready(r)
+    dt_loc = time.perf_counter() - t0
+    loc_steps = B_loc * T_loc / dt_loc
+    print(
+        f"# ekf-localization fleet: {B_loc} x {T_loc} ticks in {dt_loc:.3f}s -> "
+        f"{loc_steps:,.0f} steps/s ({loc_steps / cfg_loc.system_freq:,.0f}x the 50 Hz node)",
+        file=sys.stderr,
+    )
+
     # ---- closed-loop Monte-Carlo raycast fleet -------------------------------
     from smarc_navigation_tpu.ops import raycast
     from smarc_navigation_tpu.parallel.fleet import run_raycast_fleet
@@ -185,6 +218,7 @@ def main():
                     "pf_realtime_factor_1M_particles": round(T / cfg.system_freq / dt_pf, 1),
                     "slam_realtime_factor_aggregate": round(value / cfg.system_freq, 1),
                     "raycast_fleet_closed_loop_steps_per_sec_256": round(rc_steps, 1),
+                    "ekf_localization_steps_per_sec_fleet64": round(loc_steps, 1),
                 },
             }
         )
