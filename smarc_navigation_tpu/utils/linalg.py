@@ -63,6 +63,30 @@ def quadratic_form(H: jnp.ndarray, Sigma: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...jk,...lk->...il", H, Sigma, H)
 
 
+def inv_det_small3(S: jnp.ndarray):
+    """Closed-form (inverse, det) of batched 3×3 SPD matrices — one cofactor
+    pass feeds both (the filters need S⁻¹ for the gain and det(S) for the
+    association likelihood)."""
+    a, b, c = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
+    d, e, f = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
+    g, h, i = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    Dc = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    Hc = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    inv = jnp.stack(
+        [jnp.stack([A, Dc, G], -1), jnp.stack([B, E, Hc], -1),
+         jnp.stack([C, F, I], -1)], -2,
+    ) / det[..., None, None]
+    return inv, det
+
+
 def inv_small(S: jnp.ndarray) -> jnp.ndarray:
     """Closed-form inverse of batched 2×2 / 3×3 SPD matrices (..., n, n).
 
