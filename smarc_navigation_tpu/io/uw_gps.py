@@ -87,8 +87,11 @@ def acoustic_to_map(
     # rotate the relative fix by the master heading into ENU
     dx = c * acoustic["x"] - s * acoustic["y"]
     dy = s * acoustic["x"] + c * acoustic["y"]
-    p_utm = np.array([master_utm_e + dx, master_utm_n + dy, -abs(acoustic["z"])])
-    return np.asarray(utm_map.inverse().apply(jnp.asarray(p_utm, jnp.float32)))
+    p_utm = np.array([master_utm_e + dx, master_utm_n + dy, -abs(acoustic["z"])],
+                     np.float64)
+    # absolute UTM -> map entirely in host f64 (f32 at ~6.5e6 m quantizes
+    # to ~0.4 m, bigger than the modeled GPS noise)
+    return sensors.utm_points_to_map(p_utm, utm_map)[0]
 
 
 def aux_dr_track(
@@ -112,14 +115,14 @@ def aux_dr_track(
     t = np.arange(0.0, t1 + 1e-9, dr_period)
     # latest-fix semantics, like every reference queue
     idx = np.clip(np.searchsorted(fix_stamps, t, side="right") - 1, 0, len(fix_stamps) - 1)
-    fixes_map = np.asarray(
-        utm_map.inverse().apply(
-            jnp.asarray(
-                np.concatenate([fixes_utm[idx], np.zeros((len(t), 1))], -1), jnp.float32
-            )
-        )
+    # absolute UTM -> map subtraction in host f64; only the resulting local
+    # offsets (small) ever leave float64
+    fixes_map = sensors.utm_points_to_map(
+        np.concatenate([np.asarray(fixes_utm, np.float64)[idx],
+                        np.zeros((len(t), 1))], -1),
+        utm_map,
     )
-    odom_xy = np.asarray(
-        map_odom.inverse().apply(jnp.asarray(fixes_map, jnp.float32))
-    )[:, :2]
+    rot = np.asarray(map_odom.rot, np.float64)
+    trans = np.asarray(map_odom.trans, np.float64)
+    odom_xy = ((fixes_map - trans) @ rot)[:, :2]
     return t, odom_xy, utm_map, map_odom

@@ -59,10 +59,26 @@ def dual_antenna_fix(
 
 def bootstrap_utm_map(first_easting: float, first_northing: float) -> Transform:
     """One-shot static utm->map transform anchored at the first fix
-    (``gps_node.py:49-66``: identity rotation, translation = first fix)."""
-    return Transform.from_rpy_trans(
-        jnp.zeros(3), jnp.asarray([first_easting, first_northing, 0.0])
+    (``gps_node.py:49-66``: identity rotation, translation = first fix).
+
+    Host-side frame: the fields are numpy float64, NOT device arrays —
+    absolute UTM coordinates (~6.5e6 m Baltic northings) lose ~0.4 m to
+    f32 quantization, so all absolute-UTM math stays in host f64
+    (``utm_points_to_map``) and only local map-frame offsets go to device.
+    """
+    return Transform(
+        rot=np.eye(3, dtype=np.float64),
+        trans=np.array([first_easting, first_northing, 0.0], np.float64),
     )
+
+
+def utm_points_to_map(pts_utm: np.ndarray, utm_map: Transform) -> np.ndarray:
+    """Absolute UTM points (N, 3) -> map frame, entirely in host float64
+    (the inverse-apply of ``utm_map`` without any f32 round trip)."""
+    rot = np.asarray(utm_map.rot, np.float64)
+    trans = np.asarray(utm_map.trans, np.float64)
+    pts = np.atleast_2d(np.asarray(pts_utm, np.float64))
+    return (pts - trans) @ rot  # rows: rotᵀ(p - t)
 
 
 def bootstrap_map_odom(
@@ -116,5 +132,4 @@ def latlon_markers_to_map(
     (``wp_vis_node.py:30-54``, ``algae_map.py:33-61``)."""
     e, n = geodesy.latlon_to_utm(np.asarray(lats), np.asarray(lons), zone, xp=np)
     pts_utm = np.stack([e, n, np.full_like(e, z)], -1)
-    inv = utm_map.inverse()
-    return np.asarray(inv.apply(jnp.asarray(pts_utm, jnp.float32)))
+    return utm_points_to_map(pts_utm, utm_map)  # absolute UTM stays f64

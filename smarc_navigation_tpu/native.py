@@ -16,6 +16,7 @@ Falls back cleanly (``available() == False``) if no compiler is present.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -25,20 +26,39 @@ import numpy as np
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_HERE, "native", "smarcnav_native.cc")
 _LIB = os.path.join(_HERE, "native", "libsmarcnav.so")
+_STAMP = _LIB + ".srchash"  # sha256 of the source the cached lib was built from
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
             check=True,
             capture_output=True,
         )
+        with open(_STAMP, "w") as f:
+            f.write(src_hash)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        return False
+
+
+def _cached_lib_current(src_hash: str) -> bool:
+    """A cached .so is only trusted if its recorded source hash matches the
+    committed source — never on mtime (a checkout gives every file the same
+    mtime, which would load an unverifiable stale/foreign binary)."""
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == src_hash
+    except OSError:
         return False
 
 
@@ -47,8 +67,9 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        if not _build():
+    src_hash = _src_hash()
+    if not os.path.exists(_LIB) or not _cached_lib_current(src_hash):
+        if not _build(src_hash):
             return None
     lib = ctypes.CDLL(_LIB)
     c_dp = ctypes.POINTER(ctypes.c_double)

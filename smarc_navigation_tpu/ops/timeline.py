@@ -154,16 +154,21 @@ def make_event_channel(
     burst_id: np.ndarray,  # (M,) groups detections into bursts
     max_per_tick: int,
     dtype=np.float32,
+    stats: Optional[dict] = None,
 ) -> EventChannel:
     """Assign each detection burst to the first tick at/after its stamp.
 
     Mirrors queue semantics: detections wait in the queue and are consumed by
     the next filter tick. Bursts landing on the same tick are merged up to
     max_per_tick (extra detections are dropped — the reference's queue would
-    instead delay them one tick; at filter rates this is equivalent).
+    instead delay them one tick; at filter rates this is equivalent). Any
+    drop is surfaced: the count lands in ``stats["dropped"]`` when a stats
+    dict is passed and a warning is emitted, so saturation (silent
+    measurement loss) is observable in replays.
     """
     T = len(ticks)
     D = values.shape[1] if values.size else 3
+    dropped = 0
     if len(stamps):
         order = np.argsort(stamps, kind="stable")
         stamps, values, burst_id = stamps[order], values[order], np.asarray(burst_id)[order]
@@ -173,7 +178,8 @@ def make_event_channel(
 
         binned = native.bin_events(stamps, values, burst_id, ticks, max_per_tick)
         if binned is not None:
-            out_v, out_m, _dropped = binned
+            out_v, out_m, dropped = binned
+            _record_dropped(dropped, stats)
             return EventChannel(
                 value=jnp.asarray(out_v.astype(dtype)), mask=jnp.asarray(out_m)
             )
@@ -184,14 +190,31 @@ def make_event_channel(
         fill = np.zeros(T, dtype=np.int64)
         for m in range(len(stamps)):
             t = tick_of[m]
-            if t >= T:
+            if t >= T:  # event after mission end — lost, like saturation
+                dropped += 1
                 continue
             k = fill[t]
             if k < max_per_tick:
                 out[t, k] = values[m]
                 mask[t, k] = True
                 fill[t] += 1
+            else:
+                dropped += 1
+    _record_dropped(dropped, stats)
     return EventChannel(value=jnp.asarray(out), mask=jnp.asarray(mask))
+
+
+def _record_dropped(dropped: int, stats: Optional[dict]) -> None:
+    if stats is not None:
+        stats["dropped"] = stats.get("dropped", 0) + int(dropped)
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"event channel saturated: {int(dropped)} detections beyond "
+            "max_per_tick were dropped (raise max_per_tick or the tick rate)",
+            stacklevel=3,
+        )
 
 
 @struct.dataclass
@@ -231,6 +254,7 @@ def build_timeline(
     windows: Optional[Dict[str, tuple]] = None,    # name -> (stamps, values, W)
     events: Optional[Dict[str, tuple]] = None,     # name -> (stamps, values, burst_id, K)
     dtype=np.float32,
+    stats: Optional[dict] = None,   # out-param: per-event-channel build stats
 ) -> Timeline:
     ticks = make_ticks(t0, t1, freq_hz)
     chan = {
@@ -240,10 +264,12 @@ def build_timeline(
         name: make_window_channel(ticks, s, v, w, dtype)
         for name, (s, v, w) in (windows or {}).items()
     }
-    ev = {
-        name: make_event_channel(ticks, s, v, b, k, dtype)
-        for name, (s, v, b, k) in (events or {}).items()
-    }
+    ev = {}
+    for name, (s, v, b, k) in (events or {}).items():
+        ch_stats: dict = {}
+        ev[name] = make_event_channel(ticks, s, v, b, k, dtype, stats=ch_stats)
+        if stats is not None:
+            stats[name] = ch_stats
     return Timeline(
         ticks=jnp.asarray(ticks.astype(dtype)),
         dt=float(1.0 / freq_hz),

@@ -136,3 +136,64 @@ def test_nees_nis_consistency_metrics():
     nis = np.asarray(mx.nis(jnp.asarray(errs, jnp.float32), jnp.asarray(Sigma, jnp.float32),
                             mask=jnp.ones(T, bool)))
     assert abs(nis.mean() - n) < 0.2
+
+
+def test_event_channel_surfaces_dropped_detections():
+    """Saturated event channels must not lose measurements silently:
+    both binners report the dropped count and build_timeline exposes it."""
+    import warnings
+    from smarc_navigation_tpu.ops import timeline as tl
+
+    ticks = np.arange(4, dtype=np.float64)
+    # 5 detections all landing on tick 1, max_per_tick=2 -> 3 dropped;
+    # plus one event after mission end -> 4 dropped total
+    stamps = np.array([0.5] * 5 + [99.0])
+    values = np.arange(18, dtype=np.float64).reshape(6, 3)
+    burst = np.zeros(6, np.int64)
+
+    for use_native in (False, True):
+        from smarc_navigation_tpu import native
+        if use_native and not native.available():
+            continue
+        stats = {}
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            if use_native:
+                ch = tl.make_event_channel(ticks, stamps, values, burst, 2,
+                                           stats=stats)
+            else:
+                # force the python fallback by bypassing the native call
+                import unittest.mock as mock
+                with mock.patch.object(native, "bin_events",
+                                       lambda *a, **k: None):
+                    ch = tl.make_event_channel(ticks, stamps, values, burst,
+                                               2, stats=stats)
+        assert stats["dropped"] == 4
+        assert any("saturated" in str(x.message) for x in w)
+        assert int(np.asarray(ch.mask).sum()) == 2
+
+    # build_timeline out-param plumbing
+    stats = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tl.build_timeline(0.0, 3.0, 1.0,
+                          events={"mbes": (stamps, values, burst, 2)},
+                          stats=stats)
+    assert stats["mbes"]["dropped"] == 4
+
+
+def test_native_lib_rebuilds_on_source_hash_mismatch(tmp_path):
+    """A cached .so is only trusted when its recorded source hash matches —
+    never on mtime (fresh checkouts share mtimes)."""
+    from smarc_navigation_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("no compiler")
+    assert os.path.exists(native._STAMP)
+    with open(native._STAMP) as f:
+        assert f.read().strip() == native._src_hash()
+    # stale/foreign stamp -> cached lib is not trusted
+    with open(native._STAMP, "w") as f:
+        f.write("deadbeef")
+    assert not native._cached_lib_current(native._src_hash())

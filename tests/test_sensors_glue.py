@@ -93,3 +93,28 @@ def test_latlon_markers_to_map():
     pts = sensors.latlon_markers_to_map([59.35], [18.07], 34, utm_map)
     assert pts.shape == (1, 3)
     assert np.linalg.norm(pts[0][:2]) < 100.0  # near the map origin
+
+
+def test_utm_origin_math_stays_f64_at_baltic_scale():
+    """Absolute-UTM -> map must not round-trip through f32: at a Baltic
+    northing (~6.5e6 m) f32 resolution is ~0.4 m, larger than GPS noise.
+    Verify mm-scale offsets survive both aux_dr_track and acoustic_to_map."""
+    e0, n0 = 333411.123456, 6582690.654321
+    utm_map = sensors.bootstrap_utm_map(e0, n0)
+    assert utm_map.trans.dtype == np.float64
+
+    # 1 mm step east per fix must reconstruct exactly in the map frame
+    steps = np.arange(4) * 1e-3
+    fixes = np.stack([e0 + steps, np.full(4, n0)], -1)
+    stamps = np.arange(4.0)
+    q = quat_from_rpy(jnp.zeros(3))
+    t, odom_xy, _, _ = uw_gps.aux_dr_track(
+        stamps, fixes, np.asarray(q), dr_period=1.0)
+    np.testing.assert_allclose(odom_xy[:, 0], steps, atol=1e-9)
+
+    # acoustic fix 1 mm east of the master box
+    p = uw_gps.acoustic_to_map(
+        {"x": 1e-3, "y": 0.0, "z": 2.0}, master_utm_e=e0, master_utm_n=n0,
+        master_yaw_enu=0.0, utm_map=utm_map,
+    )
+    np.testing.assert_allclose(p, [1e-3, 0.0, -2.0], atol=1e-9)
