@@ -69,3 +69,34 @@ def test_fused_rejects_bad_chunk():
     odom = jnp.zeros(13).at[6].set(1.0)
     with pytest.raises(ValueError, match="divisible"):
         pf_kernels.fused_predict_moments(parts, odom, 0.1, jnp.zeros(6), 1, chunk=512)
+
+
+def test_systematic_resample_gather_matches_resampling_ancestors():
+    """The fused monotone-window resample kernel must produce exactly
+    parts[:, ancestors] for the ancestors of ops.resampling.systematic_resample
+    under the same key (both derive counts as clip(ceil(N*cdf - u)))."""
+    from smarc_navigation_tpu.ops import resampling
+
+    n = 2048
+    key0, key1, key2 = jax.random.split(jax.random.PRNGKey(3), 3)
+    parts = jax.random.normal(key0, (6, n))
+    w = jax.random.uniform(key1, (n,)) ** 4  # skewed weights
+    w = w / jnp.sum(w)
+
+    anc = resampling.systematic_resample(key2, w)
+    ref = parts[:, anc]
+    out = pf_kernels.systematic_resample_gather(parts, w, key2, block=512)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_systematic_resample_gather_degenerate_weights():
+    """All weight on one particle -> every output slot is that particle."""
+    n = 2048
+    parts = jnp.arange(6 * n, dtype=jnp.float32).reshape(6, n)
+    w = jnp.zeros(n).at[777].set(1.0)
+    out = pf_kernels.systematic_resample_gather(
+        parts, w, jax.random.PRNGKey(0), block=512
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out), np.broadcast_to(np.asarray(parts[:, 777])[:, None], (6, n))
+    )
