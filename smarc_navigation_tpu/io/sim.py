@@ -77,6 +77,7 @@ class MissionSpec:
     depth_std: float = 0.0
     gps_std: float = 0.0
     mbes_std: float = 0.0
+    dvl_bias: tuple = (0.0, 0.0, 0.0)     # constant body-frame velocity bias
     dvl_dropout: Optional[tuple] = None   # (t_start, t_end) seconds
     seed: int = 0
 
@@ -163,7 +164,8 @@ def simulate(spec: MissionSpec = MissionSpec()) -> Mission:
         keep &= ~((s_dvl >= a) & (s_dvl <= b))
     streams["dvl"] = {
         "stamps": s_dvl[keep],
-        "values": vel_body[i_dvl][keep] + rng.normal(0, spec.dvl_std, (keep.sum(), 3)),
+        "values": vel_body[i_dvl][keep] + np.asarray(spec.dvl_bias)
+        + rng.normal(0, spec.dvl_std, (keep.sum(), 3)),
     }
 
     # Depth (already converted from pressure; see utils.geodesy.pressure_to_depth)

@@ -51,50 +51,103 @@ class SensorSpec15:
     timeout_s: float = 0.1        # sensor_timeout (launch :104)
 
 
-# the reference's local-filter wiring (dual_ekf_test.launch:131-205)
+# ---------------------------------------------------------------------------
+# the reference's dual-filter wiring, transcribed from
+# sam_dead_reckoning/launch/dual_ekf_test.launch + params/ekf_sam.yaml
+# ---------------------------------------------------------------------------
+#
+# Sensor noise: robot_localization reads measurement covariances from the
+# incoming messages, stamped by the conditioning scripts. press_to_depth.py
+# :25 stamps pose z variance 0.1; the DVL/SBG/STIM drivers (dvl_twist.py,
+# acc_model.py are absent from the reference repo) stamp driver-level
+# covariances — 0.01 stands in for those.
 LOCAL_SENSORS = (
-    SensorSpec15(  # depth pose: z only
-        "depth", (False,) * 2 + (True,) + (False,) * 12, (0.0,) * 2 + (0.01,) + (0.0,) * 12
+    SensorSpec15(  # pose0 depth: z only (launch :131-137)
+        "depth", (False,) * 2 + (True,) + (False,) * 12, (0.0,) * 2 + (0.1,) + (0.0,) * 12
     ),
-    SensorSpec15(  # DVL twist: vx, vy
+    SensorSpec15(  # twist0 DVL: vx, vy (launch :153-160)
         "dvl",
         (False,) * 6 + (True, True, False) + (False,) * 6,
         (0.0,) * 6 + (0.01, 0.01, 0.0) + (0.0,) * 6,
     ),
-    SensorSpec15(  # SBG: yaw + yaw rate
+    SensorSpec15(  # odom1 GPS: x, y — yes, in the LOCAL filter too (:163-171)
+        "gps", (True, True) + (False,) * 13, (1.0, 1.0) + (0.0,) * 13
+    ),
+    SensorSpec15(  # imu0 SBG: yaw + yaw rate (launch :174-181)
         "sbg",
         (False,) * 5 + (True,) + (False,) * 5 + (True,) + (False,) * 3,
         (0.0,) * 5 + (0.01,) + (0.0,) * 5 + (0.01,) + (0.0,) * 3,
     ),
-    SensorSpec15(  # STIM: roll, pitch + roll/pitch rates
+    SensorSpec15(  # imu1 STIM: roll, pitch + roll/pitch rates (launch :190-197)
         "stim",
         (False,) * 3 + (True, True, False) + (False,) * 3 + (True, True, False) + (False,) * 3,
         (0.0,) * 3 + (0.01, 0.01, 0.0) + (0.0,) * 3 + (0.01, 0.01, 0.0) + (0.0,) * 3,
     ),
 )
 
-GLOBAL_SENSORS = LOCAL_SENSORS + (
-    SensorSpec15(  # GPS odometry: x, y
+# ekf_loc_global wiring (dual_ekf_test.launch:242-345): odom0 GPS (x, y),
+# pose0 depth (z), twist0 DVL (vx, vy), imu0 SBG with FULL orientation +
+# rates (roll, pitch, yaw, vroll, vpitch, vyaw — :316-323); imu1 STIM is
+# configured all-false there (:330-336), i.e. unused.
+GLOBAL_SENSORS = (
+    SensorSpec15(
         "gps", (True, True) + (False,) * 13, (1.0, 1.0) + (0.0,) * 13
     ),
+    SensorSpec15(
+        "depth", (False,) * 2 + (True,) + (False,) * 12, (0.0,) * 2 + (0.1,) + (0.0,) * 12
+    ),
+    SensorSpec15(
+        "dvl",
+        (False,) * 6 + (True, True, False) + (False,) * 6,
+        (0.0,) * 6 + (0.01, 0.01, 0.0) + (0.0,) * 6,
+    ),
+    SensorSpec15(
+        "sbg",
+        (False,) * 3 + (True,) * 3 + (False,) * 3 + (True,) * 3 + (False,) * 3,
+        (0.0,) * 3 + (0.01,) * 3 + (0.0,) * 3 + (0.01,) * 3 + (0.0,) * 3,
+    ),
+)
+
+# process/initial covariances, params/ekf_sam.yaml (x y z r p y vx vy vz
+# vr vp vy ax ay az): the GLOBAL filter's own tuning differs from the
+# local one in x, y (1e-3/1e-2 -> 1.0) and vy (0.01 -> 0.5) — yaml :3-17
+# vs :38-52
+LOCAL_PROCESS_NOISE_DIAG = (
+    1e-3, 1e-2, 1e-2, 0.3, 0.3, 0.01, 0.5, 0.01, 0.1, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3
+)
+LOCAL_INITIAL_COV_DIAG = (
+    1e-3, 1e-3, 1e-3, 1.0, 1.0, 1e-1, 1e-3, 1e-3, 1e-3, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0
+)
+GLOBAL_PROCESS_NOISE_DIAG = (
+    1.0, 1.0, 1e-3, 0.3, 0.3, 0.01, 0.5, 0.5, 0.1, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3
+)
+GLOBAL_INITIAL_COV_DIAG = (
+    1.0, 1.0, 1e-9, 1.0, 1.0, 1e-9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0
 )
 
 
 @dataclasses.dataclass(frozen=True)
 class Ekf15Config:
-    frequency: float = 100.0
+    frequency: float = 100.0                      # launch :103
     sensors: Tuple[SensorSpec15, ...] = LOCAL_SENSORS
-    # process noise from params/ekf_sam.yaml ekf_loc_local
-    process_noise_diag: Tuple[float, ...] = (
-        1e-3, 1e-2, 1e-2, 0.3, 0.3, 0.01, 0.5, 0.01, 0.1, 0.3, 0.3, 0.3, 0.3, 0.3, 0.3
-    )
-    initial_cov_diag: Tuple[float, ...] = (
-        1e-3, 1e-3, 1e-3, 1.0, 1.0, 1e-1, 1e-3, 1e-3, 1e-3, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0
-    )
-    # control shaping (launch acceleration_limits/gains block)
+    process_noise_diag: Tuple[float, ...] = LOCAL_PROCESS_NOISE_DIAG
+    initial_cov_diag: Tuple[float, ...] = LOCAL_INITIAL_COV_DIAG
+    # control shaping (launch :212-227: use_control, control_config x/y,
+    # acceleration/deceleration limits and gains all 0.1 on x, y)
     use_control: bool = True
     control_gains: Tuple[float, ...] = (0.1, 0.1, 0.0)
     control_limits: Tuple[float, ...] = (0.1, 0.1, 0.0)
+
+
+def global_config(frequency: float = 100.0) -> Ekf15Config:
+    """The ekf_loc_global instance: GPS + depth + DVL + full-SBG sensor set
+    with the global yaml tuning (map-frame world)."""
+    return Ekf15Config(
+        frequency=frequency,
+        sensors=GLOBAL_SENSORS,
+        process_noise_diag=GLOBAL_PROCESS_NOISE_DIAG,
+        initial_cov_diag=GLOBAL_INITIAL_COV_DIAG,
+    )
 
 
 class Ekf15State(NamedTuple):
@@ -209,6 +262,10 @@ def step(cfg: Ekf15Config, state: Ekf15State, tick) -> Tuple[Ekf15State, dict]:
     st = predict(state, cfg, dt, accel_cmd)
 
     for spec in cfg.sensors:
+        if spec.channel not in tick.channels:
+            # configured input not wired in this mission (e.g. GPS-denied
+            # replay without a gps channel) — like a never-publishing topic
+            continue
         ch = tick.channels[spec.channel]
         apply = ch.fresh & (ch.age < spec.timeout_s)
         st = update(
@@ -232,18 +289,42 @@ def run(timeline: Timeline, cfg: Ekf15Config = Ekf15Config(), state0=None):
     return jax.lax.scan(body, s0, timeline)
 
 
+def map_to_odom_correction(x_global: jnp.ndarray, x_local: jnp.ndarray):
+    """The dual-EKF map->odom tf: T_map_odom = T_map_base · T_odom_base⁻¹,
+    built from the global filter's map-frame pose and the local filter's
+    odom-frame pose — what robot_localization's ekf_loc_global broadcasts
+    when ``publish_tf``/``map_odom_tf_ekf`` is on (dual_ekf_test.launch:
+    15,27,345; world_frame=map at :251). Accepts leading batch/time axes.
+
+    Returns a ``Transform`` mapping odom-frame points into the map frame.
+    """
+    from ..utils.geometry import Transform
+
+    t_map_base = Transform(
+        rot=rotmat_from_rpy(x_global[..., 3:6]), trans=x_global[..., 0:3]
+    )
+    t_odom_base = Transform(
+        rot=rotmat_from_rpy(x_local[..., 3:6]), trans=x_local[..., 0:3]
+    )
+    return t_map_base.compose(t_odom_base.inverse())
+
+
 def run_dual(
     timeline_local: Timeline,
     timeline_global: Timeline,
     cfg_local: Ekf15Config = Ekf15Config(),
-    cfg_global: Ekf15Config = Ekf15Config(sensors=GLOBAL_SENSORS),
+    cfg_global: Ekf15Config | None = None,
 ):
-    """The dual-EKF pair: local (odom-frame, continuous sensors) + global
-    (map-frame, + GPS). Returns both runs; the map->odom correction is the
-    difference of their pose estimates (navsat/dual-EKF convention)."""
+    """The dual-EKF pair (dual_ekf_test.launch:102-345): local filter in
+    the odom frame (continuous sensors + GPS odom1), global filter in the
+    map frame (GPS + depth + DVL + full SBG) with its own yaml tuning.
+    Returns both runs plus the per-tick map->odom correction transforms."""
+    if cfg_global is None:
+        cfg_global = global_config(frequency=cfg_local.frequency)
     final_l, out_l = run(timeline_local, cfg_local)
     final_g, out_g = run(timeline_global, cfg_global)
-    return (final_l, out_l), (final_g, out_g)
+    map_odom = map_to_odom_correction(out_g["x"], out_l["x"])
+    return (final_l, out_l), (final_g, out_g), map_odom
 
 
 def ekf15_timeline(mission, cfg: Ekf15Config, include_gps: bool = False) -> Timeline:
@@ -270,9 +351,18 @@ def ekf15_timeline(mission, cfg: Ekf15Config, include_gps: bool = False) -> Time
     sbg = pad(np.stack([rpy[:, 2], gyro[:, 2]], -1), [5, 11])
     stim = pad(np.concatenate([rpy[:, 0:2], gyro[:, 0:2]], -1), [3, 4, 9, 10])
 
+    # control channel: the launch remaps cmd_vel -> motion_acc (:229), the
+    # thrusters' SAM-motion-model output (acc_model.py, absent from the
+    # reference repo; the in-repo model is sam_mm.py) with control_config
+    # [x, y] (:216-218) — so the control port carries the model's body-
+    # plane thrust response on x/y, shaped by gain·(cmd − v) with the 0.1
+    # acceleration limits in `control_accel`.
+    from . import motion_model
+
     ctl = s["control"]["values"]
+    acc_mm = np.asarray(motion_model.acceleration(jnp.asarray(ctl, jnp.float32)))
     cmd = np.zeros((len(ctl), 3))
-    cmd[:, 0] = 0.3 * ctl[:, 0] / 400.0  # crude rpm -> speed command
+    cmd[:, 0:2] = acc_mm[:, 0:2]
 
     channels = {
         "depth": (s["depth"]["stamps"], depth),
