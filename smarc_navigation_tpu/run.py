@@ -121,6 +121,75 @@ def _pf(args):
     }, indent=2))
 
 
+def _replay(args):
+    """Replay a RECORDED mission log (npz schema, io/logs.py) through the
+    EKF-SLAM stack — the rosbag-replay validation workflow of the
+    reference (``rosbag_handler.py:7-49``), bags converted via
+    ``io.bag_convert``."""
+    import jax
+    import numpy as np
+
+    from .configs import EKFSlamConfig
+    from .io import logs, observability
+    from .models import ekf_slam as slam
+
+    streams, meta = logs.load_log(args.log)
+    if "odom" not in streams:
+        raise SystemExit(f"log has no 'odom' stream (found {sorted(streams)})")
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=args.max_landmarks, max_obs=args.max_obs,
+        mhl_dist_mbes=args.mhl_dist, q_mbes_diag=(args.q_mbes,) * 3,
+        r_diag=(1e-3,) * 6,
+    )
+    stats = {}
+    tl = logs.log_to_timeline(
+        streams,
+        freq_hz=cfg.system_freq,
+        channels=("odom",),
+        events={"mbes": cfg.max_obs} if "mbes" in streams else {},
+        stats=stats,
+    )
+    params = slam.make_params(cfg)
+    t0 = time.perf_counter()
+    final, out = jax.jit(lambda t: slam.run(t, params, cfg))(tl)
+    jax.block_until_ready(final.mu)
+    wall = time.perf_counter() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    ticks = np.asarray(tl.ticks, np.float64)
+    mu = np.asarray(out["mu"])
+    extra = {
+        "log": args.log,
+        "meta": meta,
+        "ticks": int(tl.num_ticks),
+        "n_landmarks_mapped": int(final.n_active),
+        "wall_s": round(wall, 3),
+        "realtime_factor": round(float(ticks[-1] - ticks[0]) / wall, 1),
+        "event_stats": stats,
+    }
+    if "gt" in streams:
+        base = min(
+            s["stamps"][0] for n, s in streams.items() if len(s["stamps"])
+        )
+        gt_s = streams["gt"]["stamps"] - base
+        idx = np.clip(np.searchsorted(gt_s, ticks, side="right") - 1, 0,
+                      len(gt_s) - 1)
+        gt = np.asarray(streams["gt"]["values"])[idx][:, :6]
+        observability.error_dashboard(
+            ticks, {"ekf_slam": mu}, gt,
+            path=os.path.join(args.out, "dashboard.png"),
+        )
+        rep = observability.run_report(
+            mu, gt, extra=extra, path=os.path.join(args.out, "report.json"),
+        )
+    else:
+        rep = dict(extra, final_pose=[round(float(v), 4) for v in mu[-1]])
+        with open(os.path.join(args.out, "report.json"), "w") as f:
+            json.dump(rep, f, indent=2)
+    print(json.dumps(rep, indent=2, default=str))
+    print(f"wrote {args.out}/report.json")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="smarc_navigation_tpu.run")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -130,6 +199,15 @@ def main(argv=None):
     d.add_argument("--seed", type=int, default=0)
     d.add_argument("--out", default="/tmp/smarcnav_demo")
     d.set_defaults(fn=_demo)
+
+    r = sub.add_parser("replay", help="replay a recorded mission log (npz)")
+    r.add_argument("--log", required=True, help="npz log (io/logs.py schema)")
+    r.add_argument("--out", default="/tmp/smarcnav_replay")
+    r.add_argument("--max-landmarks", type=int, default=64)
+    r.add_argument("--max-obs", type=int, default=8)
+    r.add_argument("--mhl-dist", type=float, default=1.0)
+    r.add_argument("--q-mbes", type=float, default=0.1)
+    r.set_defaults(fn=_replay)
 
     f = sub.add_parser("pf", help="particle-filter replay benchmark")
     f.add_argument("--duration", type=float, default=60.0)
