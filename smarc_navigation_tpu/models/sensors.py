@@ -93,6 +93,46 @@ def bootstrap_map_odom(
     )
 
 
+def gps_world_correction(
+    gps_utm_e: float,
+    gps_utm_n: float,
+    heading_quat: np.ndarray,   # (4,) xyzw from the heading IMU
+    odom_base: Transform,       # T(odom <- base_link), the DR estimate
+    world_utm_local: Transform, # T(world_utm <- world_local)
+) -> Transform:
+    """The publish_gps_path corrector (``sam_dead_reckoning/scripts/
+    publish_gps_path.py:96-126``): from a UTM GPS fix + IMU heading and
+    the current DR odom->base estimate, compute the world_local->world
+    correction transform
+
+        correction = T_utm_local⁻¹ · T_gps · T_odom_base⁻¹
+
+    (the UTM-frame GPS pose pulled back into the local world frame, with
+    the vehicle's own odometry factored out). Absolute-UTM translation
+    math stays in host f64 per utm_points_to_map's rule — compose the
+    rotation parts normally but carry translations in numpy.
+    """
+    rot_gps = np.asarray(
+        Transform.from_quat_trans(
+            jnp.asarray(heading_quat, jnp.float32), jnp.zeros(3)
+        ).rot,
+        np.float64,
+    )
+    w_rot = np.asarray(world_utm_local.rot, np.float64)
+    w_trans = np.asarray(world_utm_local.trans, np.float64)
+    o_rot = np.asarray(odom_base.rot, np.float64)
+    o_trans = np.asarray(odom_base.trans, np.float64)
+    g_trans = np.array([gps_utm_e, gps_utm_n, 0.0], np.float64)
+
+    # W⁻¹ · G
+    rot_wg = w_rot.T @ rot_gps
+    trans_wg = w_rot.T @ (g_trans - w_trans)
+    # · O⁻¹
+    rot = rot_wg @ o_rot.T
+    trans = trans_wg - rot @ o_trans
+    return Transform(rot=rot, trans=trans)
+
+
 def yaw_to_heading_deg(yaw_rad) -> np.ndarray:
     """ENU yaw -> compass heading in degrees (``yaw_2_heading.py:22-26``:
     heading = 90 − yaw°, wrapped to [0, 360))."""

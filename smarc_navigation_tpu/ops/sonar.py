@@ -164,12 +164,20 @@ def connected_components(mask: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
 def detect_blobs(
     img: jnp.ndarray,          # (H, W) intensity image
     threshold: float = 0.5,    # relative to max after blur
-    min_area: int = 600,       # SimpleBlobDetector params (fls_rock_detector.cpp:93-99)
+    min_area: int = 600,       # SimpleBlobDetector params (fls_rock_detector.cpp:93-102,174-176)
     max_area: int = 5000,
     max_blobs: int = 8,
     cc_iters: int = 96,
+    min_circularity: float = 0.1,  # fls_rock_detector.cpp:96-97,176
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (centroids_px (K,2) as (x,y), areas (K,), mask (K,))."""
+    """-> (centroids_px (K,2) as (x,y), areas (K,), mask (K,)).
+
+    The circularity gate mirrors SimpleBlobDetector's 4πA/P² filter
+    (``fls_rock_detector.cpp:95-97``, minCircularity 0.1); the perimeter
+    here is the 4-neighborhood boundary-edge count per component — a
+    slight overestimate of the contour length for diagonal edges, which
+    only makes the gate marginally stricter than OpenCV's.
+    """
     H, W = img.shape
     blurred = box_blur(img, 5)
     mask = blurred >= threshold * jnp.max(blurred)
@@ -181,12 +189,24 @@ def detect_blobs(
     on = flat >= 0
     safe = jnp.where(on, flat, 0)
 
+    # boundary-edge count per pixel: 4-neighbors that are off/out-of-bounds
+    pad = jnp.pad(mask, 1, constant_values=False)
+    nbr_off = (
+        (~pad[:-2, 1:-1]).astype(jnp.int32) + (~pad[2:, 1:-1]).astype(jnp.int32)
+        + (~pad[1:-1, :-2]).astype(jnp.int32) + (~pad[1:-1, 2:]).astype(jnp.int32)
+    ).reshape(-1)
+
     area = jnp.zeros(H * W, jnp.int32).at[safe].add(jnp.where(on, 1, 0))
+    perim = jnp.zeros(H * W, jnp.int32).at[safe].add(jnp.where(on, nbr_off, 0))
     sx = jnp.zeros(H * W, img.dtype).at[safe].add(jnp.where(on, xs, 0.0))
     sy = jnp.zeros(H * W, img.dtype).at[safe].add(jnp.where(on, ys, 0.0))
 
+    circ = (4.0 * jnp.pi) * area / jnp.maximum(perim * perim, 1).astype(img.dtype)
     is_root = (flat == jnp.arange(H * W)) & on
-    good = is_root & (area >= min_area) & (area <= max_area)
+    good = (
+        is_root & (area >= min_area) & (area <= max_area)
+        & (circ >= min_circularity)
+    )
 
     slot = jnp.cumsum(good) - 1
     K = max_blobs
@@ -226,3 +246,51 @@ def fuse_submap(
     r_mid_t = rot_map_ping[mid].T
     pts_mid = jnp.einsum("ij,pbj->pbi", r_mid_t, pts_map - trans_map_ping[mid])
     return pts_mid.reshape(-1, 3), ping_mask.reshape(-1)
+
+
+def save_pcd(
+    path: str,
+    points,                # (N, 3) submap points (masked rows dropped)
+    mask=None,             # (N,) optional validity mask
+    viewpoint_trans=None,  # (3,) submap frame origin in map (sensor_origin_)
+    viewpoint_quat=None,   # (4,) xyzw (sensor_orientation_)
+) -> int:
+    """Persist a fused submap as an ASCII PCD v0.7 file — the reference's
+    ``pcl::io::savePCDFileASCII`` dump per submap
+    (``mbes_mapper/src/mbes_receptor.cpp:92-106``), including the
+    VIEWPOINT header carrying the submap frame's map pose. Host-side.
+
+    Returns the number of points written.
+    """
+    import os
+
+    import numpy as np
+
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    if mask is not None:
+        pts = pts[np.asarray(mask).reshape(-1)]
+    vp_t = [0.0, 0.0, 0.0] if viewpoint_trans is None else list(
+        np.asarray(viewpoint_trans, np.float64)
+    )
+    # PCD VIEWPOINT order is (tx ty tz qw qx qy qz)
+    q = [1.0, 0.0, 0.0, 0.0] if viewpoint_quat is None else [
+        float(np.asarray(viewpoint_quat)[3]),
+        float(np.asarray(viewpoint_quat)[0]),
+        float(np.asarray(viewpoint_quat)[1]),
+        float(np.asarray(viewpoint_quat)[2]),
+    ]
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    n = len(pts)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"WIDTH {n}\nHEIGHT 1\n"
+        "VIEWPOINT " + " ".join(f"{v:.9g}" for v in (vp_t + q)) + "\n"
+        f"POINTS {n}\nDATA ascii\n"
+    )
+    with open(path, "w") as f:
+        f.write(header)
+        for x, y, z in pts:
+            f.write(f"{x:.9g} {y:.9g} {z:.9g}\n")
+    return n

@@ -197,3 +197,65 @@ def test_native_lib_rebuilds_on_source_hash_mismatch(tmp_path):
     with open(native._STAMP, "w") as f:
         f.write("deadbeef")
     assert not native._cached_lib_current(native._src_hash())
+
+
+def test_twist_from_track_matches_known_motion():
+    """lookupTwist equivalent (tf_listener.cpp:75): constant-velocity,
+    constant-yaw-rate track -> recovered linear + angular twist."""
+    from smarc_navigation_tpu.io import observability as obs
+
+    t = np.arange(0, 20.0, 0.1)
+    v, wz = np.array([0.8, -0.2, 0.05]), 0.1
+    poses = np.zeros((len(t), 6))
+    poses[:, 0:3] = v * t[:, None]
+    poses[:, 5] = wz * t
+    tw = obs.twist_from_track(t, poses, window_s=2.0)
+    # after the window fills, both components are exact
+    np.testing.assert_allclose(tw[50:, 0:3], np.tile(v, (len(t) - 50, 1)), atol=1e-9)
+    np.testing.assert_allclose(tw[50:, 5], wz, atol=1e-9)
+    np.testing.assert_allclose(tw[50:, 3:5], 0.0, atol=1e-9)
+    # before any window exists: zeros, not NaN
+    assert np.isfinite(tw).all() and np.allclose(tw[0], 0.0)
+
+    scalars = obs.tf_listener_scalars(t, poses)
+    assert set(scalars) >= {"roll", "pitch", "yaw", "depth", "x", "y",
+                            "u", "v", "w", "p", "q", "r"}
+    np.testing.assert_allclose(scalars["depth"], -poses[:, 2])
+    np.testing.assert_allclose(scalars["u"][60:], v[0], atol=1e-9)
+
+
+def test_save_pcd_roundtrip(tmp_path):
+    """Submap PCD dump (mbes_receptor.cpp:106): ASCII v0.7 with VIEWPOINT."""
+    from smarc_navigation_tpu.ops import sonar
+
+    pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [0.0, 0.0, 0.0]])
+    mask = np.array([True, True, False])
+    path = str(tmp_path / "submap_0_frame.pcd")
+    n = sonar.save_pcd(path, pts, mask=mask,
+                       viewpoint_trans=[10.0, 20.0, -5.0],
+                       viewpoint_quat=[0.0, 0.0, 0.0, 1.0])
+    assert n == 2
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("# .PCD v0.7")
+    assert "POINTS 2" in lines
+    assert "VIEWPOINT 10 20 -5 1 0 0 0" in lines
+    got = np.loadtxt(lines[-2:])
+    np.testing.assert_allclose(got, pts[:2])
+
+
+def test_gps_world_correction_identity_and_offset():
+    """publish_gps_path corrector: with identity world/odom transforms the
+    correction is just the GPS pose; a known odom offset is factored out."""
+    import jax.numpy as jnp
+    from smarc_navigation_tpu.models import sensors
+    from smarc_navigation_tpu.utils.geometry import Transform, quat_from_rpy
+
+    q_ident = np.asarray(quat_from_rpy(jnp.zeros(3)))
+    ident = Transform(rot=np.eye(3), trans=np.zeros(3))
+    corr = sensors.gps_world_correction(100.0, 200.0, q_ident, ident, ident)
+    np.testing.assert_allclose(np.asarray(corr.trans), [100.0, 200.0, 0.0], atol=1e-6)
+
+    # vehicle 10 m east of its odom origin -> correction shifts back
+    odom_base = Transform(rot=np.eye(3), trans=np.array([10.0, 0.0, 0.0]))
+    corr2 = sensors.gps_world_correction(100.0, 200.0, q_ident, odom_base, ident)
+    np.testing.assert_allclose(np.asarray(corr2.trans), [90.0, 200.0, 0.0], atol=1e-6)

@@ -123,3 +123,23 @@ def test_fuse_submap_roundtrip():
     trans = jnp.zeros((P, 3))
     fused, m = sonar.fuse_submap(pts, mask, rot, trans)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(pts).reshape(-1, 3), atol=1e-6)
+
+
+def test_blob_circularity_gate_rejects_elongated():
+    """FLS circularity filter (fls_rock_detector.cpp:95-97): a thin bar and
+    a compact disc of similar area — only the disc survives a strict gate."""
+    H, W = 120, 120
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), np.float32)
+    img[(yy - 35) ** 2 + (xx - 35) ** 2 <= 15 ** 2] = 1.0     # disc, A≈707
+    img[80:86, 5:115] = 1.0                                   # 6x110 bar, A=660
+    args = dict(threshold=0.5, min_area=300, max_area=2000, max_blobs=4)
+
+    c_all, a_all, m_all = sonar.detect_blobs(jnp.asarray(img),
+                                             min_circularity=0.0, **args)
+    assert int(np.asarray(m_all).sum()) == 2  # both pass without the gate
+
+    c, a, m = sonar.detect_blobs(jnp.asarray(img), min_circularity=0.5, **args)
+    assert int(np.asarray(m).sum()) == 1
+    got = np.asarray(c)[np.asarray(m)][0]
+    np.testing.assert_allclose(got, [35.0, 35.0], atol=1.5)  # the disc
