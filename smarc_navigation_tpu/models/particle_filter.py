@@ -306,6 +306,116 @@ def step(
     return new_state, out
 
 
+def _update_resample_fast(parts, gps_map_xy, k_res, k_noise, params):
+    """Weights -> fused systematic resample -> x/y/yaw jitter -> refreshed
+    lane-partial moment sums. GPS-tick-only companion of the fast scan.
+
+    z/roll/pitch jitter is skipped: those rows are re-substituted absolutely
+    from odometry at the next predict (``auv_particle.py:55-60``) and the
+    fused path reports odometry values for them, so the jitter would be
+    statistically invisible — three fewer threefry rows per resample."""
+    from ..ops import pf_kernels
+
+    pos_map = params.r_m2o @ parts[0:3] + params.t_m2o[:, None]
+    dx = gps_map_xy[0] - pos_map[0]
+    dy = gps_map_xy[1] - pos_map[1]
+    logw = -0.5 * (dx * dx + dy * dy) / params.meas_var
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+    w = w + 1e-30
+    w = w / jnp.sum(w)
+
+    parts = pf_kernels.systematic_resample_gather(parts, w, k_res)
+    n = parts.shape[1]
+    sd = jnp.sqrt(params.res_noise_cov)
+    n3 = jax.random.normal(k_noise, (3, n), parts.dtype)
+    parts = parts.at[0].add(n3[0] * sd[0])
+    parts = parts.at[1].add(n3[1] * sd[1])
+    parts = parts.at[5].add(n3[2] * sd[5])
+    return parts, pf_kernels.moment_sums(parts)
+
+
+def run_fast(
+    timeline: Timeline,
+    params: PFParams,
+    cfg: PFConfig = PFConfig(),
+    n_particles: int | None = None,
+    key=None,
+):
+    """TPU fast path of ``run``: identical filter semantics, restructured for
+    the scan-dispatch floor (~50 us/iteration on this backend).
+
+    All per-tick scalar math is precomputed vectorized over the timeline
+    (dt from a cummax of fresh-odom stamps, rpy, seeds, gating flags); the
+    scan body is one fused Pallas predict + a rare resample cond; moment
+    finalization happens vectorized after the scan from the stacked
+    lane-partial sums."""
+    from ..ops import pf_kernels
+    from ..utils.geometry import rpy_from_quat
+
+    n = cfg.particle_count if n_particles is None else n_particles
+    key = jax.random.PRNGKey(0) if key is None else key
+    key, k_seeds, k_res, k_noise = jax.random.split(key, 4)
+    s0 = init_state(n, params, key)
+
+    od = timeline.channels["odom"]
+    gps = timeline.channels["gps"]
+    diving = timeline.channels["diving"]
+    ticks = timeline.ticks
+    T = ticks.shape[0]
+    dtype = jnp.float32
+
+    fresh = od.fresh
+    # t_prev_i = stamp of the last fresh-odom tick strictly before i (else 0)
+    lf = jax.lax.associative_scan(jnp.maximum, jnp.where(fresh, ticks, 0.0))
+    t_prev = jnp.concatenate([jnp.zeros((1,), ticks.dtype), lf[:-1]])
+    dts = jnp.maximum(ticks - t_prev, 0.0).astype(dtype)
+    scale = fresh.astype(dtype)
+    subst = (jnp.cumsum(fresh) > 0).astype(dtype)
+
+    rpy = jax.vmap(rpy_from_quat)(od.value[:, 3:7]).astype(dtype)
+    vals = od.value.astype(dtype)
+    sd = jnp.sqrt(params.motion_cov).astype(dtype)
+    zero = jnp.zeros((T,), dtype)
+    par16 = jnp.stack(
+        [
+            vals[:, 7] * dts * scale, vals[:, 8] * dts * scale,
+            vals[:, 9] * dts * scale, vals[:, 12] * dts * scale,
+            rpy[:, 0], rpy[:, 1], vals[:, 2],
+            zero + sd[0], zero + sd[1], zero + sd[5],
+            zero, scale, subst, zero, zero, zero,
+        ],
+        axis=1,
+    )
+    seeds = jax.random.randint(k_seeds, (T,), 0, 2**31 - 1, jnp.int32)
+    do_update = gps.fresh & (diving.value[:, 0] < 0.5)
+    res_keys = jax.vmap(lambda i: jax.random.fold_in(k_res, i))(jnp.arange(T))
+    noise_keys = jax.vmap(lambda i: jax.random.fold_in(k_noise, i))(jnp.arange(T))
+
+    def body(parts, xs):
+        p16, seed, upd, gxy, kr, kn = xs
+        parts, sums = pf_kernels.predict_call(parts, p16, seed)
+        parts, sums = jax.lax.cond(
+            upd,
+            lambda a: _update_resample_fast(a[0], gxy, kr, kn, params),
+            lambda a: a,
+            (parts, sums),
+        )
+        return parts, sums
+
+    final_parts, sums_t = jax.lax.scan(
+        body, s0.particles,
+        (par16, seeds, do_update, gps.value[:, 0:2].astype(dtype),
+         res_keys, noise_keys),
+    )
+
+    mean, cov = pf_kernels.finalize_moments(
+        sums_t, vals[:, 2], rpy[:, 0], rpy[:, 1])
+    out = {"mean": mean, "cov": cov, "updated": do_update}
+    final = PFState(particles=final_parts, key=key, t_prev=lf[-1])
+    return final, out
+
+
 def run(
     timeline: Timeline,
     params: PFParams,
@@ -315,6 +425,9 @@ def run(
     scheme: str = "residual",
     use_pallas: bool = False,
 ):
+    if use_pallas and scheme == "systematic":
+        return run_fast(timeline, params, cfg, n_particles, key)
+
     n = cfg.particle_count if n_particles is None else n_particles
     s0 = init_state(n, params, key)
 

@@ -46,11 +46,14 @@ N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 # matmul. No scatter, no sort, no HBM random access.
 
 
-def _resample_kernel(scalars_ref, mcum_ref, parts_ref, out_ref, mwin, pwin, sems):
+_WSLACK = 384    # ancestor-window slack beyond the block width (see guard)
+
+
+def _resample_kernel(starts_ref, mcum_ref, parts_ref, out_ref, mwin, pwin, sems):
     c = pl.program_id(0)
     K = out_ref.shape[1]
     W = mwin.shape[1]
-    s_eff = pl.multiple_of(scalars_ref[c], 128)  # host pre-aligns to the lane tile
+    s_eff = pl.multiple_of(starts_ref[c], 128)
 
     cp_m = pltpu.make_async_copy(mcum_ref.at[:, pl.ds(s_eff, W)], mwin, sems.at[0])
     cp_p = pltpu.make_async_copy(parts_ref.at[:, pl.ds(s_eff, W)], pwin, sems.at[1])
@@ -59,7 +62,7 @@ def _resample_kernel(scalars_ref, mcum_ref, parts_ref, out_ref, mwin, pwin, sems
     cp_m.wait()
     cp_p.wait()
 
-    # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i (m_cum sorted)
+    # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i (m_cum monotone)
     j_global = c * K + jax.lax.broadcasted_iota(jnp.int32, (W, K), 1)
     mw = mwin[0, :]
     A = (mw[:, None] > j_global).astype(jnp.float32)               # (W,K)
@@ -76,52 +79,86 @@ def systematic_resample_gather(
     key,
     block: int = 512,
 ) -> jnp.ndarray:
-    """Systematic resample + ancestor gather in one fused pass -> (6, N)."""
+    """Systematic resample + ancestor gather in one fused pass -> (6, N).
+
+    Ancestors are bit-identical to ``resampling.systematic_resample`` under
+    the same key (both derive counts as cummax(clip(ceil(N*cdf - u)))).
+    Monotone ancestors mean output block [cK,(c+1)K) draws from a contiguous
+    window, DMA'd to VMEM and expanded through a one-hot onto the MXU — no
+    scatter, no sort, no HBM random access.
+
+    A block's ancestor *index* span averages exactly the block width (block
+    spans partition the input) but is unbounded under degenerate weights
+    (long zero-count runs). A per-call guard measures the true max
+    window requirement in XLA and routes the rare oversized case to an
+    exact searchsorted+gather fallback, so the result is exact for every
+    weight vector (the fallback's XLA gather costs ~100x the kernel at 2^20
+    — acceptable for weight-collapse resamples, which in a running filter
+    happen at most once at the first fix)."""
     n = parts.shape[1]
-    # window: ≤ block+1 distinct ancestors per output block, +127 alignment
-    # slack (Mosaic requires lane-tile-aligned DMA starts)
-    W = block + 256
+    W = block + _WSLACK
     if n % block or n < W:
-        raise ValueError(f"particle count {n} must be divisible by {block} and > {W}")
+        if n == block:
+            W = n  # single-step small-bank case: window = whole bank
+        else:
+            raise ValueError(
+                f"particle count {n} must be divisible by {block} and >= {block + _WSLACK}"
+            )
     grid = n // block
 
     u = jax.random.uniform(key, (), jnp.float32)
     cdf = jnp.cumsum(weights)
     cdf = cdf.at[-1].set(1.0)
     m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    # XLA's parallel f32 cumsum is not monotone (ulp step-backs at segment
+    # boundaries); the one-hot difference needs monotone counts
+    m_cum = jax.lax.cummax(m_cum)
 
-    # per-block window starts (ancestor of the block's first slot), aligned
-    # down to the 128-lane tile and clamped into range
-    starts = jnp.searchsorted(
+    # per-block window starts (first ancestor of the block), 128-aligned
+    # down and clamped into range; window must reach the block's last
+    # ancestor (bounded by the next block's first)
+    ts = jnp.searchsorted(
         m_cum, jnp.arange(0, n, block, dtype=jnp.int32), side="right"
     ).astype(jnp.int32)
-    starts = jnp.clip((starts // 128) * 128, 0, n - W)
+    ts_next = jnp.concatenate([ts[1:], jnp.asarray([n], jnp.int32)])
+    starts = jnp.clip((ts // 128) * 128, 0, n - W)
+    fits = jnp.max(ts_next - (ts // 128) * 128) < W
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, N) in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # parts (6, N) in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (8, block), lambda c, s: (0, c), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     # pad the 6 state rows to the sublane tile (8) for aligned DMA windows
     parts8 = jnp.concatenate(
         [parts.astype(jnp.float32), jnp.zeros((2, n), jnp.float32)], axis=0
     )
-    out8 = pl.pallas_call(
-        _resample_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
-    )(starts, m_cum[None, :], parts8)
+
+    def fast(_):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, N) in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, N) in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (8, block), lambda c, s: (0, c), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, W), jnp.int32),
+                pltpu.VMEM((8, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            _resample_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        )(starts, m_cum[None, :], parts8)
+
+    def exact(_):
+        anc = jnp.searchsorted(
+            m_cum, jnp.arange(n, dtype=jnp.int32), side="right"
+        )
+        return jnp.take(parts8, anc, axis=1)
+
+    out8 = jax.lax.cond(fits, fast, exact, None)
     return out8[0:6]
 
 
@@ -160,11 +197,40 @@ def _sincos(theta: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return _sin2pi(t), _sin2pi(t + 0.25)
 
 
-def _kernel(params_ref, parts_ref, out_ref, sums_ref):
-    # params (SMEM): [vdt_x, vdt_y, vdt_z, wz_dt, roll, pitch, z_odom,
-    #                 sd_x, sd_y, sd_yaw, seed, do_noise]
+_LN2 = 0.6931471805599453
+_SQRT2 = 1.4142135623730951
+
+
+def _fast_ln(u: jnp.ndarray) -> jnp.ndarray:
+    """ln(u) for positive normal f32 via exponent/mantissa split.
+
+    Mosaic's libm log costs ~50 VPU cycles/element; this is ~20 one-cycle
+    ops: fold the mantissa into [sqrt(1/2), sqrt(2)) and evaluate the
+    degree-7 atanh series (max abs err 3e-8)."""
+    bits = pltpu.bitcast(u, jnp.int32)
+    e = jax.lax.shift_right_logical(bits, jnp.int32(23)).astype(jnp.float32) - 127.0
+    m = pltpu.bitcast(
+        jax.lax.bitwise_or(
+            jax.lax.bitwise_and(bits, jnp.int32(0x7FFFFF)), jnp.int32(0x3F800000)
+        ),
+        jnp.float32,
+    )  # [1, 2)
+    big = m > _SQRT2
+    m = jnp.where(big, m * 0.5, m)
+    e = jnp.where(big, e + 1.0, e)
+    s = (m - 1.0) / (m + 1.0)
+    w = s * s
+    ln_m = 2.0 * s * (1.0 + w * (1 / 3 + w * (1 / 5 + w * (1 / 7))))
+    return e * _LN2 + ln_m
+
+
+def _kernel(params_ref, seed_ref, parts_ref, out_ref, sums_ref):
+    # params (SMEM f32): [vdt_x, vdt_y, vdt_z, wz_dt, roll, pitch, z_odom,
+    #                     sd_x, sd_y, sd_yaw, (unused), do_noise, subst, 0,0,0]
+    # seed (SMEM i32): per-tick PRNG seed (exact int — f32 params would
+    # quantize seeds above 2^24 and alias tick streams)
     pid = pl.program_id(0)
-    pltpu.prng_seed(params_ref[0, 10].astype(jnp.int32) + pid)
+    pltpu.prng_seed(seed_ref[0, 0] + pid)
 
     x = parts_ref[0, :]
     y = parts_ref[1, :]
@@ -174,8 +240,10 @@ def _kernel(params_ref, parts_ref, out_ref, sums_ref):
     # Box-Muller normals for x, y, yaw noise (uniforms are already in turns:
     # the poly sincos skips the 2*pi product AND the range reduction)
     u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32))
-    r1 = jnp.sqrt(-2.0 * jnp.log(u[0]))
-    r2 = jnp.sqrt(-2.0 * jnp.log(u[2]))
+    # pltpu.bitcast needs >=2D: feed both radius rows through one 2D fast_ln
+    r12 = jnp.sqrt(-2.0 * _fast_ln(jnp.concatenate([u[0:1], u[2:3]], axis=0)))
+    r1 = r12[0]
+    r2 = r12[1]
     nx = r1 * _sin2pi(u[1] + 0.25)
     ny = r1 * _sin2pi(u[1])
     nyaw = r2 * _sin2pi(u[3] + 0.25)
@@ -198,13 +266,15 @@ def _kernel(params_ref, parts_ref, out_ref, sums_ref):
 
     x_n = x + step_x + nx
     y_n = y + step_y + ny
-    z_n = jnp.full_like(x_n, params_ref[0, 6])
 
+    # before any odometry has arrived (subst=0) z/roll/pitch keep their init
+    # distribution instead of collapsing to a stale channel fill value
+    subst = params_ref[0, 12] > 0.5
     out_ref[0, :] = x_n
     out_ref[1, :] = y_n
-    out_ref[2, :] = z_n
-    out_ref[3, :] = jnp.full_like(x_n, roll)
-    out_ref[4, :] = jnp.full_like(x_n, pitch)
+    out_ref[2, :] = jnp.where(subst, jnp.full_like(x_n, params_ref[0, 6]), parts_ref[2, :])
+    out_ref[3, :] = jnp.where(subst, jnp.full_like(x_n, roll), parts_ref[3, :])
+    out_ref[4, :] = jnp.where(subst, jnp.full_like(x_n, pitch), parts_ref[4, :])
     out_ref[5, :] = yaw_n
 
     # accumulate lane-wide partial moments across the (sequential) grid into
@@ -227,6 +297,107 @@ def _kernel(params_ref, parts_ref, out_ref, sums_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
+def predict_call(
+    parts: jnp.ndarray,      # (6, N) f32
+    par16: jnp.ndarray,      # (16,) f32 tick params (see _kernel)
+    seed: jnp.ndarray,       # () int32
+    chunk: int = 64 * 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw fused predict pass -> (new_parts, lane-partial sums (8,128)).
+
+    The minimal per-tick dispatch for scanned hot loops: all tick math
+    (dt, rpy, freshness gating) is precomputed vectorized over the whole
+    timeline (``particle_filter.run_fast``), so the scan body is just this
+    call."""
+    n = parts.shape[1]
+    chunk = min(chunk, n)
+    if n % chunk:
+        raise ValueError(f"particle count {n} must be divisible by chunk {chunk}")
+    grid = n // chunk
+
+    return pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_SUMS, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((N_SUMS, 128), jnp.float32),
+        ],
+    )(
+        par16[None, :].astype(jnp.float32),
+        jnp.asarray(seed, jnp.int32)[None, None],
+        parts.astype(jnp.float32),
+    )
+
+
+def make_par16(odom, dt, motion_sd, do_noise=1.0, subst=1.0) -> jnp.ndarray:
+    """Tick parameter row for ``predict_call`` from a 13-dim odom sample."""
+    from ..utils.geometry import rpy_from_quat
+
+    abs_rpy = rpy_from_quat(odom[3:7])
+    vdt = odom[7:10] * dt
+    z = jnp.zeros((), jnp.float32)
+    return jnp.stack(
+        [
+            vdt[0], vdt[1], vdt[2],
+            odom[12] * dt,
+            abs_rpy[0], abs_rpy[1],
+            odom[2],
+            motion_sd[0], motion_sd[1], motion_sd[5],
+            z,
+            jnp.asarray(do_noise, jnp.float32),
+            jnp.asarray(subst, jnp.float32),
+            z, z, z,
+        ]
+    ).astype(jnp.float32)
+
+
+def finalize_moments(sums, z, roll, pitch):
+    """Lane-partial sums (..., 8, 128) -> (mean6, cov3x3); broadcast-safe
+    over leading time axes (z/roll/pitch substituted from odometry, as the
+    fused path has always done)."""
+    tot = jnp.sum(sums, axis=-1)
+    count = tot[..., 7]
+    mx, my = tot[..., 0] / count, tot[..., 1] / count
+    yaw = jnp.arctan2(tot[..., 5] / count, tot[..., 6] / count)
+    mean = jnp.stack(
+        [mx, my, jnp.broadcast_to(z, mx.shape),
+         jnp.broadcast_to(roll, mx.shape), jnp.broadcast_to(pitch, mx.shape),
+         yaw], axis=-1)
+    zero = jnp.zeros_like(mx)
+    cxx = tot[..., 2] / count - mx * mx
+    cyy = tot[..., 3] / count - my * my
+    cxy = tot[..., 4] / count - mx * my
+    row0 = jnp.stack([cxx, cxy, zero], axis=-1)
+    row1 = jnp.stack([cxy, cyy, zero], axis=-1)
+    row2 = jnp.stack([zero, zero, zero], axis=-1)
+    cov = jnp.stack([row0, row1, row2], axis=-2)
+    return mean, cov
+
+
+def moment_sums(parts: jnp.ndarray) -> jnp.ndarray:
+    """Lane-partial (8,128) moment sums of a (6,N) bank — the same layout
+    the kernel accumulates, for post-resample refreshes outside the kernel."""
+    def lanes(v):
+        return jnp.sum(v.reshape(-1, 128), axis=0)
+
+    x, y, yaw = parts[0], parts[1], parts[5]
+    n = parts.shape[1]
+    return jnp.stack(
+        [lanes(x), lanes(y), lanes(x * x), lanes(y * y), lanes(x * y),
+         lanes(jnp.sin(yaw)), lanes(jnp.cos(yaw)),
+         jnp.full((128,), n / 128.0, jnp.float32)])
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def fused_predict_moments(
     parts: jnp.ndarray,       # (6, N)
     odom: jnp.ndarray,        # (13,) [pos3, quat4, v3, w3]
@@ -239,51 +410,10 @@ def fused_predict_moments(
     """One fused PF predict pass. Returns (new_parts, mean6, cov3x3)."""
     from ..utils.geometry import rpy_from_quat
 
-    n = parts.shape[1]
-    chunk = min(chunk, n)
-    if n % chunk:
-        raise ValueError(f"particle count {n} must be divisible by chunk {chunk}")
-    grid = n // chunk
-
+    par16 = make_par16(odom, dt, motion_sd,
+                       do_noise=jnp.asarray(do_noise, jnp.float32))
+    out, sums = predict_call(parts, par16, jnp.asarray(seed, jnp.int32),
+                             chunk=chunk)
     abs_rpy = rpy_from_quat(odom[3:7])
-    vdt = odom[7:10] * dt
-    params = jnp.stack(
-        [
-            vdt[0], vdt[1], vdt[2],
-            odom[12] * dt,
-            abs_rpy[0], abs_rpy[1],
-            odom[2],
-            motion_sd[0], motion_sd[1], motion_sd[5],
-            jnp.asarray(seed, jnp.float32),
-            jnp.asarray(do_noise, jnp.float32),
-        ]
-    )[None, :].astype(jnp.float32)
-
-    out, sums = pl.pallas_call(
-        _kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_SUMS, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((6, n), jnp.float32),
-            jax.ShapeDtypeStruct((N_SUMS, 128), jnp.float32),
-        ],
-    )(params, parts.astype(jnp.float32))
-
-    tot = jnp.sum(sums, axis=1)
-    count = tot[7]
-    mx, my = tot[0] / count, tot[1] / count
-    yaw = jnp.arctan2(tot[5] / count, tot[6] / count)
-    mean = jnp.stack([mx, my, odom[2], abs_rpy[0], abs_rpy[1], yaw])
-    cov = jnp.zeros((3, 3), jnp.float32)
-    cov = cov.at[0, 0].set(tot[2] / count - mx * mx)
-    cov = cov.at[1, 1].set(tot[3] / count - my * my)
-    cov = cov.at[0, 1].set(tot[4] / count - mx * my)
-    cov = cov.at[1, 0].set(tot[4] / count - mx * my)
+    mean, cov = finalize_moments(sums, odom[2], abs_rpy[0], abs_rpy[1])
     return out, mean, cov

@@ -54,6 +54,10 @@ def systematic_resample(key, weights: jnp.ndarray) -> jnp.ndarray:
     cdf = jnp.cumsum(weights)
     cdf = cdf.at[-1].set(1.0)
     m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    # XLA's parallel cumsum is not monotone under f32 rounding (segment
+    # boundaries can step back by an ulp, which survives the ceil at large
+    # N); a true prefix sum of positive weights is — restore that invariant
+    m_cum = jax.lax.cummax(m_cum)
     return _expand_blocks(m_cum)
 
 

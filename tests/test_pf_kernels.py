@@ -90,7 +90,10 @@ def test_systematic_resample_gather_matches_resampling_ancestors():
 
 
 def test_systematic_resample_gather_degenerate_weights():
-    """All weight on one particle -> every output slot is that particle."""
+    """All weight on one particle -> every output slot is that particle.
+
+    The ancestor window of the one-hot fast path cannot cover this (the
+    span guard routes it to the exact searchsorted fallback)."""
     n = 2048
     parts = jnp.arange(6 * n, dtype=jnp.float32).reshape(6, n)
     w = jnp.zeros(n).at[777].set(1.0)
@@ -100,3 +103,37 @@ def test_systematic_resample_gather_degenerate_weights():
     np.testing.assert_array_equal(
         np.asarray(out), np.broadcast_to(np.asarray(parts[:, 777])[:, None], (6, n))
     )
+
+
+def test_systematic_resample_gather_zero_run_weights():
+    """Long zero-count runs blow the ancestor-index span past any fixed
+    window (the round-1 kernel returned corrupted banks here); the guard
+    must detect it and fall back to the exact path."""
+    from smarc_navigation_tpu.ops import resampling
+
+    n = 4096
+    key = jax.random.PRNGKey(11)
+    parts = jax.random.normal(jax.random.PRNGKey(1), (6, n))
+    # weight mass only at the two ends -> mid-bank ancestors jump ~n slots
+    w = jnp.zeros(n).at[:64].set(1.0).at[-64:].set(1.0)
+    w = w / jnp.sum(w)
+    anc = resampling.systematic_resample(key, w)
+    out = pf_kernels.systematic_resample_gather(parts, w, key, block=512)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(parts[:, anc]))
+
+
+def test_systematic_resample_monotone_counts_at_scale():
+    """jnp.cumsum on TPU/CPU is a parallel scan whose f32 rounding can step
+    backwards at segment boundaries; the count vector must be repaired to
+    monotone (cummax) or windowed one-hot expansion silently corrupts.
+    Exercise a large skewed bank through the ancestor path."""
+    from smarc_navigation_tpu.ops import resampling
+
+    n = 1 << 16
+    key = jax.random.PRNGKey(3)
+    w = jax.random.uniform(jax.random.PRNGKey(4), (n,)) ** 2
+    w = w / jnp.sum(w)
+    anc = np.asarray(resampling.systematic_resample(key, w))
+    assert (np.diff(anc) >= 0).all()  # ancestors monotone
+    # multiset sizes: every slot filled, ancestors within range
+    assert anc.min() >= 0 and anc.max() < n
