@@ -1,4 +1,4 @@
-"""Benchmark: EKF-SLAM fleet steps/sec + 1M-particle MCL updates/sec on TPU.
+"""Benchmark: EKF-SLAM fleet steps/sec + 1M-particle MCL on TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -6,6 +6,13 @@ Baseline anchor: the reference's EKF-SLAM runs at a fixed 10 Hz wall-clock
 tick on CPU (``auv_ekf_slam/launch/ekf_slam.launch:23``) — one mission, one
 process. vs_baseline is therefore (aggregate filter steps/sec) / 10: how
 many reference-node-seconds of work one chip does per second.
+
+Timing protocol (this backend): ``jax.block_until_ready`` does not reliably
+synchronize through the axon tunnel and a fixed ~24 ms dispatch+fetch
+round-trip dominates single calls. Every workload is therefore measured as
+the SLOPE between a short and a long run of the same jitted program (same
+shapes except the time axis), each forced by fetching a jnp.sum scalar —
+fixed costs cancel, and the number is work actually executed.
 """
 
 import dataclasses
@@ -14,6 +21,28 @@ import sys
 import time
 
 import numpy as np
+
+
+def _force(x):
+    return float(np.asarray(x))
+
+
+def timed(fn, *args, reps=3):
+    """Best-of-reps wall time of fn(*args) forced via a scalar fetch."""
+    _force(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _force(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def slope(fn, args_small, args_big, units_small, units_big, reps=3):
+    """Marginal seconds per work unit between two run lengths."""
+    t_small = timed(fn, *args_small, reps=reps)
+    t_big = timed(fn, *args_big, reps=reps)
+    return max(t_big - t_small, 1e-9) / (units_big - units_small)
 
 
 def main():
@@ -27,13 +56,56 @@ def main():
     from smarc_navigation_tpu.io import sim
     from smarc_navigation_tpu.models import ekf_slam as slam
     from smarc_navigation_tpu.models import particle_filter as pf
+    from smarc_navigation_tpu.ops.timeline import build_timeline
     from smarc_navigation_tpu.parallel import fleet
+    from smarc_navigation_tpu.utils.geometry import quat_from_rpy
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    # ---- mission + timelines ------------------------------------------------
-    duration = 60.0
+    def slam_timelines(cfg, duration, B):
+        tls = []
+        for b in range(min(B, 16)):  # 16 distinct missions, tiled to B
+            m = sim.simulate(
+                sim.MissionSpec(
+                    duration_s=duration,
+                    num_landmarks=20,
+                    mbes_std=0.05,
+                    landmark_area_m=60.0,
+                    mbes_range_m=30.0,
+                    gps_surface_z=-100.0,
+                    gps_std=0.3,
+                    seed=b,
+                )
+            )
+            ticks = np.arange(0, duration + 1e-9, 1.0 / cfg.system_freq)
+            gt = m.gt_at(ticks)
+            quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
+            k = np.clip((ticks * m.spec.sim_hz).astype(int), 0, len(m.t) - 1)
+            odom13 = np.concatenate(
+                [gt[:, 0:3], quat, m.vel_body[k], m.gyro[k]], axis=1
+            )
+            det = m.streams["mbes_detections"]
+            gps = m.streams["gps"]
+            tls.append(
+                build_timeline(
+                    t0=0.0,
+                    t1=duration,
+                    freq_hz=cfg.system_freq,
+                    channels={
+                        "odom": (ticks, odom13),
+                        "gps": (gps["stamps"], gps["values"]),
+                        "diving": (ticks, np.zeros((len(ticks), 1))),
+                    },
+                    events={
+                        "mbes": (det["stamps"], det["values"], det["burst"], cfg.max_obs)
+                    },
+                )
+            )
+        tls = (tls * ((B + len(tls) - 1) // len(tls)))[:B]
+        return fleet.batch_timelines(tls)
+
+    # ---- EKF-SLAM fleet (headline: L=64 working shapes) ----------------------
     cfg = dataclasses.replace(
         EKFSlamConfig(),
         max_landmarks=64,
@@ -42,98 +114,87 @@ def main():
         q_mbes_diag=(0.1, 0.1, 0.1),
         r_diag=(1e-3,) * 6,
     )
-    B = 128  # fleet width (missions per chip; throughput saturates ~here)
-
-    tls = []
-    for b in range(min(B, 16)):  # 16 distinct missions, tiled to B
-        m = sim.simulate(
-            sim.MissionSpec(
-                duration_s=duration,
-                num_landmarks=20,
-                mbes_std=0.05,
-                landmark_area_m=60.0,
-                mbes_range_m=30.0,
-                gps_surface_z=-100.0,
-                gps_std=0.3,
-                seed=b,
-            )
-        )
-        ticks = np.arange(0, duration + 1e-9, 1.0 / cfg.system_freq)
-        gt = m.gt_at(ticks)
-        from smarc_navigation_tpu.utils.geometry import quat_from_rpy
-
-        quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
-        k = np.clip((ticks * m.spec.sim_hz).astype(int), 0, len(m.t) - 1)
-        odom13 = np.concatenate([gt[:, 0:3], quat, m.vel_body[k], m.gyro[k]], axis=1)
-        det = m.streams["mbes_detections"]
-        gps = m.streams["gps"]
-        from smarc_navigation_tpu.ops.timeline import build_timeline
-
-        tls.append(
-            build_timeline(
-                t0=0.0,
-                t1=duration,
-                freq_hz=cfg.system_freq,
-                channels={
-                    "odom": (ticks, odom13),
-                    "gps": (gps["stamps"], gps["values"]),
-                    "diving": (ticks, np.zeros((len(ticks), 1))),
-                },
-                events={"mbes": (det["stamps"], det["values"], det["burst"], cfg.max_obs)},
-            )
-        )
-    tls = (tls * ((B + len(tls) - 1) // len(tls)))[:B]
-    batched = fleet.batch_timelines(tls)
-    T = int(batched.ticks.shape[1])
-
+    B = 128
     slam_params = slam.make_params(cfg)
-    pf_cfg = PFConfig(particle_count=1024)
-    pf_params = pf.make_params(pf_cfg)
 
-    # ---- EKF-SLAM fleet -----------------------------------------------------
     def run_slam_fleet(t):
         def one(tl):
             final, out = slam.run(tl, slam_params, cfg)
             return final.mu[0:6], final.n_active
 
-        return jax.vmap(one)(t)
+        mus, nact = jax.vmap(one)(t)
+        return jnp.sum(mus) + jnp.sum(nact)
 
     run1 = jax.jit(run_slam_fleet)
-    mus, nact = run1(batched)
-    jax.block_until_ready(mus)
-    t0 = time.perf_counter()
-    mus, nact = run1(batched)
-    jax.block_until_ready(mus)
-    dt_slam = time.perf_counter() - t0
-    slam_steps_per_sec = B * T / dt_slam
+    b_small = slam_timelines(cfg, 15.0, B)
+    b_big = slam_timelines(cfg, 60.0, B)
+    T_s, T_b = int(b_small.ticks.shape[1]), int(b_big.ticks.shape[1])
+    per_tick = slope(run1, (b_small,), (b_big,), T_s, T_b)
+    slam_steps_per_sec = B / per_tick
     print(
-        f"# ekf-slam fleet: {B} missions x {T} ticks in {dt_slam:.3f}s "
-        f"-> {slam_steps_per_sec:,.0f} steps/s "
-        f"({slam_steps_per_sec / cfg.system_freq:,.0f}x real-time aggregate); "
-        f"mean landmarks {float(np.mean(np.asarray(nact))):.1f}",
+        f"# ekf-slam fleet (L=64): {B} x ({T_s}->{T_b}) ticks, "
+        f"{per_tick*1e6:.0f} us/fleet-tick -> {slam_steps_per_sec:,.0f} steps/s "
+        f"({slam_steps_per_sec / cfg.system_freq:,.0f}x real-time aggregate)",
         file=sys.stderr,
     )
 
-    # ---- 1M-particle MCL (fused Pallas predict, systematic resampling) ------
-    n_particles = 1_048_576
-    tl0 = tls[0]
-    run_pf = jax.jit(
-        lambda t: pf.run(
-            t, pf_params, pf_cfg, n_particles=n_particles,
-            scheme="systematic", use_pallas=True,
-        )[1]["mean"]
+    # ---- EKF-SLAM fleet at reference-advertised shapes ------------------------
+    # padded 256-landmark state, reference launch tunings
+    # (ekf_slam.launch:23-30: mhl_mbes 0.12, Q_mbes diag 200, R 1e-3)
+    cfg256 = dataclasses.replace(
+        EKFSlamConfig(),
+        max_landmarks=256,
+        max_obs=8,
     )
-    mean = run_pf(tl0)
-    jax.block_until_ready(mean)
-    t0 = time.perf_counter()
-    mean = run_pf(tl0)
-    jax.block_until_ready(mean)
-    dt_pf = time.perf_counter() - t0
-    pf_updates_per_sec = n_particles * T / dt_pf
+    B256 = 32
+    params256 = slam.make_params(cfg256)
+
+    def run_slam_fleet256(t):
+        def one(tl):
+            final, out = slam.run(tl, params256, cfg256)
+            return final.mu[0:6], final.n_active
+
+        mus, nact = jax.vmap(one)(t)
+        return jnp.sum(mus) + jnp.sum(nact)
+
+    run256 = jax.jit(run_slam_fleet256)
+    b256_small = slam_timelines(cfg256, 15.0, B256)
+    b256_big = slam_timelines(cfg256, 60.0, B256)
+    per_tick256 = slope(run256, (b256_small,), (b256_big,), T_s, T_b)
+    slam256_steps = B256 / per_tick256
     print(
-        f"# pf: {n_particles:,} particles x {T} ticks in {dt_pf:.3f}s "
-        f"-> {pf_updates_per_sec:,.3g} particle-updates/s "
-        f"({T / cfg.system_freq / dt_pf:,.0f}x real-time)",
+        f"# ekf-slam fleet (L=256 ref-tuned): {B256} missions, "
+        f"{per_tick256*1e6:.0f} us/fleet-tick -> {slam256_steps:,.0f} steps/s",
+        file=sys.stderr,
+    )
+
+    # ---- 1M-particle MCL (fused Pallas predict, systematic resampling) -------
+    n_particles = 1_048_576
+    pf_cfg = PFConfig(particle_count=n_particles)
+    pf_params = pf.make_params(pf_cfg)
+
+    def pf_tl(duration):
+        m = sim.simulate(
+            sim.MissionSpec(duration_s=duration, seed=3, gps_surface_z=-100.0)
+        )
+        return pf.pf_timeline(m, freq_hz=10.0)
+
+    run_pf = jax.jit(
+        lambda t: jnp.sum(
+            pf.run(
+                t, pf_params, pf_cfg, n_particles=n_particles,
+                scheme="systematic", use_pallas=True,
+            )[1]["mean"]
+        )
+    )
+    tl_pf_small, tl_pf_big = pf_tl(15.0), pf_tl(60.0)
+    Tp_s, Tp_b = int(tl_pf_small.ticks.shape[0]), int(tl_pf_big.ticks.shape[0])
+    pf_per_tick = slope(run_pf, (tl_pf_small,), (tl_pf_big,), Tp_s, Tp_b)
+    pf_updates_per_sec = n_particles / pf_per_tick
+    pf_rt = 0.1 / pf_per_tick  # ticks are 10 Hz
+    print(
+        f"# pf: {n_particles:,} particles, {pf_per_tick*1e6:.0f} us/tick -> "
+        f"{pf_updates_per_sec:,.3g} particle-updates/s ({pf_rt:,.0f}x real-time)",
         file=sys.stderr,
     )
 
@@ -145,63 +206,64 @@ def main():
         EKFLocConfig(), stone_offset=0.0, r_diag=(1e-4,) * 3 + (1e-6,) * 3,
         q_diag=(0.25,) * 3,
     )
-    m_loc = sim.simulate(
-        sim.MissionSpec(duration_s=duration, num_landmarks=16, dvl_std=0.05,
-                        mbes_std=0.05, seed=7)
-    )
-    tl_loc = loc.loc_timeline(m_loc, cfg_loc)
-    params_loc = loc.make_params(m_loc.landmarks, cfg_loc)
     B_loc = 64
-    batched_loc = fleet.batch_timelines([tl_loc] * B_loc)
-    T_loc = int(batched_loc.ticks.shape[1])
+
+    def loc_batch(duration):
+        m_loc = sim.simulate(
+            sim.MissionSpec(duration_s=duration, num_landmarks=16, dvl_std=0.05,
+                            mbes_std=0.05, seed=7)
+        )
+        tl_loc = loc.loc_timeline(m_loc, cfg_loc)
+        return fleet.batch_timelines([tl_loc] * B_loc), m_loc
+
+    bl_small, m_small = loc_batch(15.0)
+    bl_big, m_big = loc_batch(60.0)
+    params_loc = loc.make_params(m_big.landmarks, cfg_loc)
     run_loc = jax.jit(
-        lambda t: jax.vmap(lambda x: loc.run(x, params_loc, cfg_loc)[1]["mu"][-1, 0])(t)
+        lambda t: jnp.sum(
+            jax.vmap(lambda x: loc.run(x, params_loc, cfg_loc)[1]["mu"][-1, 0])(t)
+        )
     )
-    r = run_loc(batched_loc)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = run_loc(batched_loc)
-    jax.block_until_ready(r)
-    dt_loc = time.perf_counter() - t0
-    loc_steps = B_loc * T_loc / dt_loc
+    Tl_s, Tl_b = int(bl_small.ticks.shape[1]), int(bl_big.ticks.shape[1])
+    loc_per_tick = slope(run_loc, (bl_small,), (bl_big,), Tl_s, Tl_b)
+    loc_steps = B_loc / loc_per_tick
     print(
-        f"# ekf-localization fleet: {B_loc} x {T_loc} ticks in {dt_loc:.3f}s -> "
-        f"{loc_steps:,.0f} steps/s ({loc_steps / cfg_loc.system_freq:,.0f}x the 50 Hz node)",
+        f"# ekf-localization fleet: {B_loc} missions, {loc_per_tick*1e6:.0f} "
+        f"us/fleet-tick -> {loc_steps:,.0f} steps/s "
+        f"({loc_steps / cfg_loc.system_freq:,.0f}x the 50 Hz node)",
         file=sys.stderr,
     )
 
-    # ---- closed-loop Monte-Carlo raycast fleet -------------------------------
+    # ---- closed-loop Monte-Carlo raycast fleet (BASELINE config: 1024) -------
     from smarc_navigation_tpu.ops import raycast
     from smarc_navigation_tpu.parallel.fleet import run_raycast_fleet
 
-    B_rc = 256
-    T_rc = 301  # 30 s at 10 Hz
+    B_rc = 1024
     rng = np.random.default_rng(0)
-    ticks_rc = np.arange(T_rc) / cfg.system_freq
     base_m = sim.simulate(sim.MissionSpec(duration_s=30.0, seed=1))
-    gt_one = base_m.gt_at(ticks_rc).astype(np.float32)
-    gt_tracks = jnp.asarray(np.tile(gt_one, (B_rc, 1, 1)))
-    lms = jnp.asarray(
-        rng.uniform([0, -20, -16], [40, 20, -12], (B_rc, 16, 3)), jnp.float32
-    )
-    lmm = jnp.ones((B_rc, 16), bool)
     spec = raycast.MBESSpec(num_beams=64, floor_z=-16.0, rock_radius=1.2,
                             swath_rad=2.4, max_range=40.0)
     cfg_rc = dataclasses.replace(cfg, max_landmarks=32)
     params_rc = slam.make_params(cfg_rc)
-    run_rc = jax.jit(
-        lambda g, l, m_: run_raycast_fleet(g, l, m_, cfg_rc, params_rc, spec)[1][0]
+    lms = jnp.asarray(
+        rng.uniform([0, -20, -16], [40, 20, -12], (B_rc, 16, 3)), jnp.float32
     )
-    mus_rc = run_rc(gt_tracks, lms, lmm)
-    jax.block_until_ready(mus_rc)
-    t0 = time.perf_counter()
-    mus_rc = run_rc(gt_tracks, lms, lmm)
-    jax.block_until_ready(mus_rc)
-    dt_rc = time.perf_counter() - t0
-    rc_steps = B_rc * T_rc / dt_rc
+    lmm = jnp.ones((B_rc, 16), bool)
+    run_rc = jax.jit(
+        lambda g, l, m_: jnp.sum(run_raycast_fleet(g, l, m_, cfg_rc, params_rc, spec)[1][0])
+    )
+
+    def rc_args(T_rc):
+        ticks_rc = np.arange(T_rc) / cfg.system_freq
+        gt_one = base_m.gt_at(ticks_rc).astype(np.float32)
+        return (jnp.asarray(np.tile(gt_one, (B_rc, 1, 1))), lms, lmm)
+
+    Tr_s, Tr_b = 76, 301
+    rc_per_tick = slope(run_rc, rc_args(Tr_s), rc_args(Tr_b), Tr_s, Tr_b)
+    rc_steps = B_rc / rc_per_tick
     print(
-        f"# raycast fleet: {B_rc} missions x {T_rc} ticks (render+perceive+slam) "
-        f"in {dt_rc:.3f}s -> {rc_steps:,.0f} closed-loop steps/s",
+        f"# raycast fleet: {B_rc} missions (render+perceive+slam), "
+        f"{rc_per_tick*1e6:.0f} us/fleet-tick -> {rc_steps:,.0f} closed-loop steps/s",
         file=sys.stderr,
     )
 
@@ -215,9 +277,10 @@ def main():
                 "vs_baseline": round(value / 10.0, 1),
                 "secondary": {
                     "pf_particle_updates_per_sec_1M": round(pf_updates_per_sec, 1),
-                    "pf_realtime_factor_1M_particles": round(T / cfg.system_freq / dt_pf, 1),
+                    "pf_realtime_factor_1M_particles": round(pf_rt, 1),
                     "slam_realtime_factor_aggregate": round(value / cfg.system_freq, 1),
-                    "raycast_fleet_closed_loop_steps_per_sec_256": round(rc_steps, 1),
+                    "ekf_slam_steps_per_sec_fleet32_L256_reftuned": round(slam256_steps, 1),
+                    "raycast_fleet_closed_loop_steps_per_sec_1024": round(rc_steps, 1),
                     "ekf_localization_steps_per_sec_fleet64": round(loc_steps, 1),
                 },
             }
