@@ -179,13 +179,13 @@ def main():
         )
         return pf.pf_timeline(m, freq_hz=10.0)
 
-    run_pf = jax.jit(
-        lambda t: jnp.sum(
-            pf.run(
-                t, pf_params, pf_cfg, n_particles=n_particles,
-                scheme="systematic", use_pallas=True,
-            )[1]["mean"]
-        )
+    # NOT wrapped in jax.jit: a concrete timeline lets pf.run segment the
+    # mission on host and use the multi-tick kernel (jits internally)
+    run_pf = lambda t: jnp.sum(  # noqa: E731
+        pf.run(
+            t, pf_params, pf_cfg, n_particles=n_particles,
+            scheme="systematic", use_pallas=True,
+        )[1]["mean"]
     )
     tl_pf_small, tl_pf_big = pf_tl(15.0), pf_tl(60.0)
     Tp_s, Tp_b = int(tl_pf_small.ticks.shape[0]), int(tl_pf_big.ticks.shape[0])

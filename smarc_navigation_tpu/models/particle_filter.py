@@ -29,6 +29,7 @@ Semantics preserved:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -335,28 +336,10 @@ def _update_resample_fast(parts, gps_map_xy, k_res, k_noise, params):
     return parts, pf_kernels.moment_sums(parts)
 
 
-def run_fast(
-    timeline: Timeline,
-    params: PFParams,
-    cfg: PFConfig = PFConfig(),
-    n_particles: int | None = None,
-    key=None,
-):
-    """TPU fast path of ``run``: identical filter semantics, restructured for
-    the scan-dispatch floor (~50 us/iteration on this backend).
-
-    All per-tick scalar math is precomputed vectorized over the timeline
-    (dt from a cummax of fresh-odom stamps, rpy, seeds, gating flags); the
-    scan body is one fused Pallas predict + a rare resample cond; moment
-    finalization happens vectorized after the scan from the stacked
-    lane-partial sums."""
-    from ..ops import pf_kernels
+def _tick_precompute(timeline: Timeline, params: PFParams, key):
+    """Vectorized per-tick scalar math shared by the fast paths: par16 rows,
+    seeds, gating flags, update keys."""
     from ..utils.geometry import rpy_from_quat
-
-    n = cfg.particle_count if n_particles is None else n_particles
-    key = jax.random.PRNGKey(0) if key is None else key
-    key, k_seeds, k_res, k_noise = jax.random.split(key, 4)
-    s0 = init_state(n, params, key)
 
     od = timeline.channels["odom"]
     gps = timeline.channels["gps"]
@@ -365,6 +348,7 @@ def run_fast(
     T = ticks.shape[0]
     dtype = jnp.float32
 
+    key, k_seeds, k_res, k_noise = jax.random.split(key, 4)
     fresh = od.fresh
     # t_prev_i = stamp of the last fresh-odom tick strictly before i (else 0)
     lf = jax.lax.associative_scan(jnp.maximum, jnp.where(fresh, ticks, 0.0))
@@ -391,6 +375,166 @@ def run_fast(
     do_update = gps.fresh & (diving.value[:, 0] < 0.5)
     res_keys = jax.vmap(lambda i: jax.random.fold_in(k_res, i))(jnp.arange(T))
     noise_keys = jax.vmap(lambda i: jax.random.fold_in(k_noise, i))(jnp.arange(T))
+    return (par16, seeds, do_update, gps.value[:, 0:2].astype(dtype),
+            res_keys, noise_keys, vals, rpy, lf, key)
+
+
+def _segment_plan(upd: np.ndarray, k_max: int):
+    """Host-side split of [0,T) into runs ending at each update tick (and at
+    k_max): list of (start, length, has_update)."""
+    T = len(upd)
+    segs = []
+    start = 0
+    for t in range(T):
+        if upd[t] or (t - start + 1) == k_max:
+            segs.append((start, t - start + 1, bool(upd[t])))
+            start = t + 1
+    if start < T:
+        segs.append((start, T - start, False))
+    return segs
+
+
+@functools.partial(jax.jit, static_argnames=("nxy", "nyaw_on"))
+def _run_segments(timeline, params, key, s0_particles,
+                  idx_j, valid_j, upd_seg_j, upd_tick_j, flat_slot_j,
+                  nxy, nyaw_on):
+    """Jitted segment scan for ``run_fast_segmented`` (module-level so the
+    jit cache persists across calls)."""
+    from ..ops import pf_kernels
+
+    S, K = idx_j.shape
+    (par16, seeds, _do_update, gps_xy, res_keys, noise_keys,
+     vals, rpy, lf, key) = _tick_precompute(timeline, params, key)
+
+    seg_par = par16[idx_j]                        # (S, K, 16)
+    # pads: no motion, no noise (cols 0..3 = vdt/wzdt, 11 = noise scale)
+    mask = valid_j[..., None].astype(par16.dtype)
+    kill = jnp.asarray(
+        [1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0], par16.dtype)
+    seg_par = seg_par * (mask + (1 - mask) * (1 - kill))
+    seg_seeds = seeds[idx_j]                      # (S, K)
+    seg_gps = gps_xy[upd_tick_j]                  # (S, 2)
+    seg_kr = res_keys[upd_tick_j]
+    seg_kn = noise_keys[upd_tick_j]
+
+    def body(parts, xs):
+        p16, sds, upd, gxy, kr, kn = xs
+        parts, sums = pf_kernels.predict_call_multi(
+            parts, p16, sds, nxy=nxy, nyaw=nyaw_on)
+        parts = jax.lax.cond(
+            upd,
+            lambda a: _update_resample_fast(a, gxy, kr, kn,
+                                            params)[0],
+            lambda a: a,
+            parts,
+        )
+        return parts, sums
+
+    final_parts, sums_sk = jax.lax.scan(
+        body, s0_particles,
+        (seg_par, seg_seeds, upd_seg_j, seg_gps, seg_kr, seg_kn),
+    )
+    sums_t = sums_sk.reshape(S * K, pf_kernels.N_SUMS, 128)[flat_slot_j]
+    mean, cov = pf_kernels.finalize_moments(
+        sums_t, vals[:, 2], rpy[:, 0], rpy[:, 1])
+    return final_parts, mean, cov, lf[-1], key
+
+
+def run_fast_segmented(
+    timeline: Timeline,
+    params: PFParams,
+    cfg: PFConfig = PFConfig(),
+    n_particles: int | None = None,
+    key=None,
+    k_max: int = 12,
+):
+    """Segmented TPU fast path: the mission is split (on host, from the
+    concrete timeline) into predict runs that end at each GPS-update tick,
+    and each run executes as ONE multi-tick Pallas call with the bank chunk
+    held in VMEM — HBM traffic and dispatch overhead amortize over the run.
+
+    Requires a concrete (non-traced) timeline; semantics match ``run_fast``
+    except that update-tick moments are reported pre-resample (resampling is
+    unbiased, so only the sample noise of that one tick's report differs)."""
+    from ..ops import pf_kernels
+
+    n = cfg.particle_count if n_particles is None else n_particles
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    upd_host = np.asarray(
+        timeline.channels["gps"].fresh
+        & (timeline.channels["diving"].value[:, 0] < 0.5)
+    )
+    segs = _segment_plan(upd_host, k_max)
+    S = len(segs)
+    T = int(timeline.ticks.shape[0])
+    K = k_max
+
+    # slot -> tick index (pads repeat the segment's last real tick; their
+    # par16 rows are zeroed below so they are exact no-ops)
+    idx = np.zeros((S, K), np.int32)
+    valid = np.zeros((S, K), bool)
+    upd_seg = np.zeros((S,), bool)
+    upd_tick = np.zeros((S,), np.int32)
+    for s, (start, length, has_upd) in enumerate(segs):
+        idx[s, :length] = np.arange(start, start + length)
+        idx[s, length:] = start + length - 1
+        valid[s, :length] = True
+        upd_seg[s] = has_upd
+        upd_tick[s] = start + length - 1
+    # tick -> (segment, slot) for the post-scan moment gather
+    flat_slot = np.zeros((T,), np.int32)
+    for s, (start, length, _h) in enumerate(segs):
+        flat_slot[start:start + length] = s * K + np.arange(length)
+
+    idx_j = jnp.asarray(idx)
+    valid_j = jnp.asarray(valid)
+    upd_seg_j = jnp.asarray(upd_seg)
+    upd_tick_j = jnp.asarray(upd_tick)
+    flat_slot_j = jnp.asarray(flat_slot)
+
+    # trace-time noise-row flags: std-0 rows compile out of the kernel
+    # (reference default motion_cov zeroes x/y — auv_pf.launch:18)
+    try:
+        mc = np.asarray(params.motion_cov)
+        nxy = bool(mc[0] > 0 or mc[1] > 0)
+        nyaw_on = bool(mc[5] > 0)
+    except Exception:
+        nxy = nyaw_on = True
+
+    s0 = init_state(n, params, key)
+    final_parts, mean, cov, t_prev, key = _run_segments(
+        timeline, params, key, s0.particles,
+        idx_j, valid_j, upd_seg_j, upd_tick_j, flat_slot_j,
+        nxy=nxy, nyaw_on=nyaw_on)
+    out = {"mean": mean, "cov": cov, "updated": jnp.asarray(upd_host)}
+    final = PFState(particles=final_parts, key=key, t_prev=t_prev)
+    return final, out
+
+
+def run_fast(
+    timeline: Timeline,
+    params: PFParams,
+    cfg: PFConfig = PFConfig(),
+    n_particles: int | None = None,
+    key=None,
+):
+    """TPU fast path of ``run``: identical filter semantics, restructured for
+    the scan-dispatch floor (~50 us/iteration on this backend).
+
+    All per-tick scalar math is precomputed vectorized over the timeline
+    (dt from a cummax of fresh-odom stamps, rpy, seeds, gating flags); the
+    scan body is one fused Pallas predict + a rare resample cond; moment
+    finalization happens vectorized after the scan from the stacked
+    lane-partial sums."""
+    from ..ops import pf_kernels
+
+    n = cfg.particle_count if n_particles is None else n_particles
+    key = jax.random.PRNGKey(0) if key is None else key
+    s0 = init_state(n, params, key)
+
+    (par16, seeds, do_update, gps_xy, res_keys, noise_keys,
+     vals, rpy, lf, key) = _tick_precompute(timeline, params, key)
 
     def body(parts, xs):
         p16, seed, upd, gxy, kr, kn = xs
@@ -405,8 +549,7 @@ def run_fast(
 
     final_parts, sums_t = jax.lax.scan(
         body, s0.particles,
-        (par16, seeds, do_update, gps.value[:, 0:2].astype(dtype),
-         res_keys, noise_keys),
+        (par16, seeds, do_update, gps_xy, res_keys, noise_keys),
     )
 
     mean, cov = pf_kernels.finalize_moments(
@@ -426,6 +569,10 @@ def run(
     use_pallas: bool = False,
 ):
     if use_pallas and scheme == "systematic":
+        if not isinstance(timeline.ticks, jax.core.Tracer):
+            # concrete timeline: host-side GPS segmentation enables the
+            # multi-tick kernel (HBM traffic + dispatch amortize per run)
+            return run_fast_segmented(timeline, params, cfg, n_particles, key)
         return run_fast(timeline, params, cfg, n_particles, key)
 
     n = cfg.particle_count if n_particles is None else n_particles

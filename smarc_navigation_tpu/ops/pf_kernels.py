@@ -49,27 +49,62 @@ N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 _WSLACK = 384    # ancestor-window slack beyond the block width (see guard)
 
 
-def _resample_kernel(starts_ref, mcum_ref, parts_ref, out_ref, mwin, pwin, sems):
-    c = pl.program_id(0)
-    K = out_ref.shape[1]
-    W = mwin.shape[1]
-    s_eff = pl.multiple_of(starts_ref[c], 128)
+def _make_resample_kernel(batch: int):
+    """Kernel factory: `batch` consecutive output blocks per grid step, each
+    with its own ancestor window — DMAs issued together (latency overlap)
+    and per-grid-step overhead (~0.6 us) amortized `batch`-fold."""
 
-    cp_m = pltpu.make_async_copy(mcum_ref.at[:, pl.ds(s_eff, W)], mwin, sems.at[0])
-    cp_p = pltpu.make_async_copy(parts_ref.at[:, pl.ds(s_eff, W)], pwin, sems.at[1])
-    cp_m.start()
-    cp_p.start()
-    cp_m.wait()
-    cp_p.wait()
+    def kernel(starts_ref, mcum_ref, parts_ref, out_ref, *scratch):
+        mwins = scratch[0:batch]            # batch x (1, W) i32
+        pwins = scratch[batch:2 * batch]    # batch x (8, W) f32
+        sems = scratch[2 * batch]
+        c = pl.program_id(0)
+        K = out_ref.shape[1] // batch
+        W = mwins[0].shape[1]
 
-    # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i (m_cum monotone)
-    j_global = c * K + jax.lax.broadcasted_iota(jnp.int32, (W, K), 1)
-    mw = mwin[0, :]
-    A = (mw[:, None] > j_global).astype(jnp.float32)               # (W,K)
-    A_prev = jnp.concatenate([jnp.zeros((1, K), jnp.float32), A[:-1, :]], axis=0)
-    onehot = A - A_prev                                            # (W,K) 0/1
+        copies = []
+        for b in range(batch):
+            s_eff = pl.multiple_of(starts_ref[c * batch + b], 128)
+            cp_m = pltpu.make_async_copy(
+                mcum_ref.at[:, pl.ds(s_eff, W)], mwins[b], sems.at[2 * b])
+            cp_p = pltpu.make_async_copy(
+                parts_ref.at[:, pl.ds(s_eff, W)], pwins[b], sems.at[2 * b + 1])
+            cp_m.start()
+            cp_p.start()
+            copies.append((cp_m, cp_p))
+        for cp_m, cp_p in copies:
+            cp_m.wait()
+            cp_p.wait()
 
-    out_ref[:, :] = jnp.dot(pwin[:, :], onehot, preferred_element_type=jnp.float32)
+        for b in range(batch):
+            # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i. The cell
+            # array is the VPU cost: build it in bf16 (one-hot entries are
+            # exactly 0/1) and recover exact f32 particle values through a
+            # 3-way bf16 split of the window (hi+mid+lo == x exactly; each
+            # output column hits exactly one 1 in the one-hot).
+            jg = (c * batch + b) * K + jax.lax.broadcasted_iota(
+                jnp.int32, (W, K), 1)
+            mw = mwins[b][0, :]
+            A = (mw[:, None] > jg).astype(jnp.bfloat16)            # (W,K)
+            A_prev = jnp.concatenate(
+                [jnp.zeros((1, K), jnp.bfloat16), A[:-1, :]], axis=0)
+            onehot = A - A_prev                                    # 0/1 in bf16
+
+            pw = pwins[b][:, :]                                    # (8, W) f32
+            hi = pw.astype(jnp.bfloat16)
+            r1 = pw - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            # DEFAULT precision: the package-wide "highest" would ask for a
+            # 3-pass f32 emulation that Mosaic rejects for bf16 operands;
+            # bf16 x {0,1} products accumulated in f32 are already exact
+            dot = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc = dot(hi, onehot) + dot(mid, onehot) + dot(lo, onehot)
+            out_ref[:, b * K:(b + 1) * K] = acc
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -129,25 +164,28 @@ def systematic_resample_gather(
         [parts.astype(jnp.float32), jnp.zeros((2, n), jnp.float32)], axis=0
     )
 
+    batch = 4 if grid % 4 == 0 else 1
+    grid_b = grid // batch
+
     def fast(_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(grid,),
+            grid=(grid_b,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, N) in HBM
                 pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, N) in HBM
             ],
             out_specs=pl.BlockSpec(
-                (8, block), lambda c, s: (0, c), memory_space=pltpu.VMEM
+                (8, block * batch), lambda c, s: (0, c), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[
-                pltpu.VMEM((1, W), jnp.int32),
-                pltpu.VMEM((8, W), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((1, W), jnp.int32) for _ in range(batch)]
+                + [pltpu.VMEM((8, W), jnp.float32) for _ in range(batch)]
+                + [pltpu.SemaphoreType.DMA((2 * batch,))]
+            ),
         )
         return pl.pallas_call(
-            _resample_kernel,
+            _make_resample_kernel(batch),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         )(starts, m_cum[None, :], parts8)
@@ -238,19 +276,18 @@ def _kernel(params_ref, seed_ref, parts_ref, out_ref, sums_ref):
     n = x.shape[0]
 
     # Box-Muller normals for x, y, yaw noise (uniforms are already in turns:
-    # the poly sincos skips the 2*pi product AND the range reduction)
-    u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((4, n)), jnp.uint32))
-    # pltpu.bitcast needs >=2D: feed both radius rows through one 2D fast_ln
-    r12 = jnp.sqrt(-2.0 * _fast_ln(jnp.concatenate([u[0:1], u[2:3]], axis=0)))
-    r1 = r12[0]
-    r2 = r12[1]
-    nx = r1 * _sin2pi(u[1] + 0.25)
-    ny = r1 * _sin2pi(u[1])
-    nyaw = r2 * _sin2pi(u[3] + 0.25)
+    # the poly sincos skips the 2*pi product AND the range reduction).
+    # All noise math runs on (8, n/8) blocks — a (1,n) row would use one of
+    # the VPU's 8 sublanes (measured 11x slower); the row-major reshape back
+    # to (n,) matches the native 1-D layout and is free.
+    n8 = n // 8
+    u = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits((32, n8)), jnp.uint32))
+    r1 = jnp.sqrt(-2.0 * _fast_ln(u[0:8]))
+    r2 = jnp.sqrt(-2.0 * _fast_ln(u[16:24]))
     scale = params_ref[0, 11]
-    nx = nx * params_ref[0, 7] * scale
-    ny = ny * params_ref[0, 8] * scale
-    nyaw = nyaw * params_ref[0, 9] * scale
+    nx = (r1 * _sin2pi(u[8:16] + 0.25)).reshape(n) * (params_ref[0, 7] * scale)
+    ny = (r1 * _sin2pi(u[8:16])).reshape(n) * (params_ref[0, 8] * scale)
+    nyaw = (r2 * _sin2pi(u[24:32] + 0.25)).reshape(n) * (params_ref[0, 9] * scale)
 
     vdt_x, vdt_y, vdt_z = params_ref[0, 0], params_ref[0, 1], params_ref[0, 2]
     roll, pitch = params_ref[0, 4], params_ref[0, 5]
@@ -294,6 +331,137 @@ def _kernel(params_ref, seed_ref, parts_ref, out_ref, sums_ref):
     sums_ref[5, :] += lanes(sy)
     sums_ref[6, :] += lanes(cy)
     sums_ref[7, :] += jnp.full((128,), n / 128.0, jnp.float32)
+
+
+def _make_kernel_multi(nxy: bool, nyaw_on: bool):
+    """Kernel factory: K predict ticks over one VMEM-resident chunk.
+
+    params (K,16) SMEM f32 rows as in ``_kernel``; seeds (1,K) SMEM i32.
+    The bank chunk is read and written ONCE for all K ticks; per-tick moment
+    partials land in sums rows [8t, 8t+8).
+
+    nxy / nyaw_on are trace-time flags: noise rows whose std is exactly 0
+    compile out entirely. The reference's default motion covariance is
+    (0,0,0,0,0,1e-12) (``auv_pf.launch:18``) — x/y motion noise is zero and
+    bank diversity comes from the resample jitter — so the default-config
+    kernel skips 2 of 4 PRNG rows, one Box-Muller radius, and two
+    quarter-wave polys (VPU-bound: ~35% of the per-tick cost)."""
+
+    def kernel(params_ref, seeds_ref, parts_ref, out_ref, sums_ref):
+        pid = pl.program_id(0)
+        K = params_ref.shape[0]
+        n = parts_ref.shape[1]
+
+        x = parts_ref[0, :]
+        y = parts_ref[1, :]
+        yaw = parts_ref[5, :]
+        z = parts_ref[2, :]
+        roll_v = parts_ref[3, :]
+        pitch_v = parts_ref[4, :]
+
+        @pl.when(pid == 0)
+        def _():
+            sums_ref[:, :] = jnp.zeros_like(sums_ref)
+
+        def lanes(v):
+            return jnp.sum(v.reshape(-1, 128), axis=0)
+
+        # Noise math runs on (8, n/8) blocks: a (1,n)-shaped row uses one of
+        # the VPU's 8 sublanes (measured 11x slower); full-sublane blocks +
+        # one free row-major reshape to (n,) at the end fix the layout.
+        n8 = n // 8
+        nrows = (16 if nxy else 0) + (16 if nyaw_on else 0)
+        for t in range(K):
+            scale = params_ref[t, 11]
+            if nrows:
+                pltpu.prng_seed(seeds_ref[0, t] + pid)  # same stream as _kernel
+                u = _uniform_from_bits(
+                    pltpu.bitcast(pltpu.prng_random_bits((nrows, n8)), jnp.uint32))
+            nx = ny = nyaw = 0.0
+            if nxy:
+                r1 = jnp.sqrt(-2.0 * _fast_ln(u[0:8]))
+                nx = (r1 * _sin2pi(u[8:16] + 0.25)).reshape(n) * (params_ref[t, 7] * scale)
+                ny = (r1 * _sin2pi(u[8:16])).reshape(n) * (params_ref[t, 8] * scale)
+            if nyaw_on:
+                r2 = jnp.sqrt(-2.0 * _fast_ln(u[nrows - 16:nrows - 8]))
+                nyaw = (r2 * _sin2pi(u[nrows - 8:nrows] + 0.25)).reshape(n) * (
+                    params_ref[t, 9] * scale)
+
+            roll, pitch = params_ref[t, 4], params_ref[t, 5]
+            yaw = yaw + params_ref[t, 3] + nyaw
+            yaw = jnp.mod(yaw + jnp.pi, _TWO_PI) - jnp.pi
+            cr, sr = jnp.cos(roll), jnp.sin(roll)
+            cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+            sy, cy = _sincos(yaw)
+            vdt_x, vdt_y, vdt_z = params_ref[t, 0], params_ref[t, 1], params_ref[t, 2]
+            x = x + (cy * cp) * vdt_x + (cy * sp * sr - sy * cr) * vdt_y \
+                + (cy * sp * cr + sy * sr) * vdt_z + nx
+            y = y + (sy * cp) * vdt_x + (sy * sp * sr + cy * cr) * vdt_y \
+                + (sy * sp * cr - cy * sr) * vdt_z + ny
+            subst = params_ref[t, 12] > 0.5
+            z = jnp.where(subst, jnp.full_like(x, params_ref[t, 6]), z)
+            roll_v = jnp.where(subst, jnp.full_like(x, roll), roll_v)
+            pitch_v = jnp.where(subst, jnp.full_like(x, pitch), pitch_v)
+
+            base = t * N_SUMS
+            sums_ref[base + 0, :] += lanes(x)
+            sums_ref[base + 1, :] += lanes(y)
+            sums_ref[base + 2, :] += lanes(x * x)
+            sums_ref[base + 3, :] += lanes(y * y)
+            sums_ref[base + 4, :] += lanes(x * y)
+            sums_ref[base + 5, :] += lanes(sy)
+            sums_ref[base + 6, :] += lanes(cy)
+            sums_ref[base + 7, :] += jnp.full((128,), n / 128.0, jnp.float32)
+
+        out_ref[0, :] = x
+        out_ref[1, :] = y
+        out_ref[2, :] = z
+        out_ref[3, :] = roll_v
+        out_ref[4, :] = pitch_v
+        out_ref[5, :] = yaw
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "nxy", "nyaw"))
+def predict_call_multi(
+    parts: jnp.ndarray,      # (6, N) f32
+    par16: jnp.ndarray,      # (K, 16) f32 per-tick params
+    seeds: jnp.ndarray,      # (K,) int32
+    chunk: int = 64 * 1024,
+    nxy: bool = True,
+    nyaw: bool = True,
+):
+    """K fused predict ticks -> (new_parts, per-tick sums (K, 8, 128))."""
+    n = parts.shape[1]
+    K = par16.shape[0]
+    chunk = min(chunk, n)
+    if n % chunk:
+        raise ValueError(f"particle count {n} must be divisible by chunk {chunk}")
+    grid = n // chunk
+
+    out, sums = pl.pallas_call(
+        _make_kernel_multi(nxy, nyaw),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((K, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * N_SUMS, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((K * N_SUMS, 128), jnp.float32),
+        ],
+    )(
+        par16.astype(jnp.float32),
+        jnp.asarray(seeds, jnp.int32)[None, :],
+        parts.astype(jnp.float32),
+    )
+    return out, sums.reshape(K, N_SUMS, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
