@@ -219,16 +219,15 @@ def main():
     bl_small, m_small = loc_batch(15.0)
     bl_big, m_big = loc_batch(60.0)
     params_loc = loc.make_params(m_big.landmarks, cfg_loc)
+    # whole-tick missions-in-lanes Pallas kernel (ops/loc_kernels.py)
     run_loc = jax.jit(
-        lambda t: jnp.sum(
-            jax.vmap(lambda x: loc.run(x, params_loc, cfg_loc)[1]["mu"][-1, 0])(t)
-        )
+        lambda t: jnp.sum(loc.run_fleet(t, params_loc, cfg_loc)[1]["mu"])
     )
     Tl_s, Tl_b = int(bl_small.ticks.shape[1]), int(bl_big.ticks.shape[1])
     loc_per_tick = slope(run_loc, (bl_small,), (bl_big,), Tl_s, Tl_b)
     loc_steps = B_loc / loc_per_tick
     print(
-        f"# ekf-localization fleet: {B_loc} missions, {loc_per_tick*1e6:.0f} "
+        f"# ekf-localization fleet: {B_loc} missions, {loc_per_tick*1e6:.1f} "
         f"us/fleet-tick -> {loc_steps:,.0f} steps/s "
         f"({loc_steps / cfg_loc.system_freq:,.0f}x the 50 Hz node)",
         file=sys.stderr,
