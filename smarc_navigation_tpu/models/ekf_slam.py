@@ -239,6 +239,76 @@ FLS = SensorSpec(
 )
 
 
+def da_stage(
+    state: SlamState,
+    z: jnp.ndarray,        # (M, 3) detections (FLS uses [:, :2])
+    z_mask: jnp.ndarray,   # (M,)
+    params: SlamParams,
+    cfg: EKFSlamConfig,
+    sensor: SensorSpec,
+):
+    """Pre-solver half of the DA pass: batch correspondence + candidates +
+    the (L+M, M) cost table. Split out so a fleet can solve all missions'
+    assignments in one in-lanes kernel (``ops.slam_da_kernels``)."""
+    L = cfg.max_landmarks
+    dim = sensor.dim
+    mu, Sigma = state.mu, state.Sigma
+    pose = mu[0:6]
+    lm_all = mu[6:].reshape(L, 3)
+    z_d = z[:, :dim]
+    Q = sensor.q(params)
+    lam = sensor.lam(params)
+    f32 = mu.dtype
+
+    # --- batch correspondence against every slot (h, H at pre-update μ̂) ----
+    def corr(lm):
+        zh = sensor.h(pose, lm, params)
+        Hp = jax.jacfwd(lambda p6: sensor.h(p6, lm, params))(pose)   # (dim,6)
+        Hl = jax.jacfwd(lambda l3: sensor.h(pose, l3, params))(lm)   # (dim,3)
+        return zh, jnp.concatenate([Hp, Hl], axis=1)                  # (dim,9)
+
+    z_hat, H = jax.vmap(corr)(lm_all)                                  # (L,dim),(L,dim,9)
+    Spp = Sigma[0:6, 0:6]
+    Spl = Sigma[0:6, 6:].reshape(6, L, 3).transpose(1, 0, 2)           # (L,6,3)
+    Sll = jnp.einsum("iaib->iab", Sigma[6:, 6:].reshape(L, 3, L, 3))   # (L,3,3)
+    Hp_, Hl_ = H[:, :, 0:6], H[:, :, 6:9]
+    S = (
+        jnp.einsum("ldi,ij,lej->lde", Hp_, Spp, Hp_)
+        + jnp.einsum("ldi,lik,lek->lde", Hp_, Spl, Hl_)
+        + jnp.einsum("ldk,lik,lei->lde", Hl_, Spl, Hp_)
+        + jnp.einsum("ldi,lik,lek->lde", Hl_, Sll, Hl_)
+        + Q
+    )
+    S_inv = inv_small(S)
+    nu = z_d[None, :, :] - z_hat[:, None, :]                           # (L,M,dim)
+    d_m = jnp.einsum("lmi,lij,lmj->lm", nu, S_inv, nu)                 # (L,M)
+
+    cand = jax.vmap(lambda zi: sensor.backproject(zi, pose, params))(z)  # (M,3)
+
+    def cand_corr(c, zi):
+        zh = sensor.h(pose, c, params)
+        Hp = jax.jacfwd(lambda p6: sensor.h(p6, c, params))(pose)
+        Hl = jax.jacfwd(lambda l3: sensor.h(pose, l3, params))(c)
+        Hc = jnp.concatenate([Hp, Hl], axis=1)
+        Sig9c = jnp.zeros((9, 9), f32)
+        Sig9c = Sig9c.at[0:6, 0:6].set(Sigma[0:6, 0:6])
+        Sig9c = Sig9c.at[6:9, 6:9].set(jnp.diag(jnp.asarray(sensor.new_lm_cov, f32)))
+        Sc = Hc @ Sig9c @ Hc.T + Q
+        return Hc, inv_small(Sc), zi[:dim] - zh
+
+    H_cand, S_inv_cand, nu_cand = jax.vmap(cand_corr)(cand, z)         # (M,...)
+
+    M = z.shape[0]
+    gate = (d_m < lam) & state.active[:, None] & z_mask[None, :]
+    cost_known = jnp.where(gate, d_m, cfg.outlier_cost)                # (L,M)
+    eye = jnp.eye(M, dtype=bool)
+    cost_cand = jnp.where(eye, jnp.asarray(sensor.mh_dist(cfg), f32), cfg.outlier_cost)
+    cost = jnp.concatenate([cost_known, cost_cand], axis=0)            # (L+M,M)
+
+    staged = (H, S_inv, nu, cand, H_cand, S_inv_cand, nu_cand)
+    return cost, staged
+
+
 def data_associate_update(
     state: SlamState,
     z: jnp.ndarray,        # (M, 3) detections (FLS uses [:, :2])
@@ -264,73 +334,36 @@ def data_associate_update(
         gentle tuning (Q_mbes=200, mhl_dist=0.12).
     """
     L = cfg.max_landmarks
+    cost, staged = da_stage(state, z, z_mask, params, cfg, sensor)
+    if solver == "device":
+        col_to_row = assignment.hungarian(cost)
+    else:
+        col_to_row = assignment.hungarian_host(cost)
+    return da_commit(state, col_to_row, staged, z, z_mask, params, cfg,
+                     sensor, update_mode)
+
+
+def da_commit(
+    state: SlamState,
+    col_to_row: jnp.ndarray,
+    staged,
+    z: jnp.ndarray,
+    z_mask: jnp.ndarray,
+    params: SlamParams,
+    cfg: EKFSlamConfig,
+    sensor: SensorSpec,
+    update_mode: str = "auto",
+) -> Tuple[SlamState, jnp.ndarray]:
+    """Post-solver half of the DA pass: landmark adds + sequential update."""
+    L = cfg.max_landmarks
     dim = sensor.dim
     if update_mode == "auto":
         # whole-loop Pallas kernel on TPU; dense jax path elsewhere
         update_mode = "pallas" if jax.default_backend() == "tpu" else "full"
     mu, Sigma = state.mu, state.Sigma
-    pose = mu[0:6]
-    lm_all = mu[6:].reshape(L, 3)
-    z_d = z[:, :dim]
     M = z.shape[0]
-    Q = sensor.q(params)
-    lam = sensor.lam(params)
     f32 = mu.dtype
-
-    # --- batch correspondence against every slot (h, H at pre-update μ̂) ----
-    def corr(lm):
-        zh = sensor.h(pose, lm, params)
-        Hp = jax.jacfwd(lambda p6: sensor.h(p6, lm, params))(pose)   # (dim,6)
-        Hl = jax.jacfwd(lambda l3: sensor.h(pose, l3, params))(lm)   # (dim,3)
-        return zh, jnp.concatenate([Hp, Hl], axis=1)                  # (dim,9)
-
-    z_hat, H = jax.vmap(corr)(lm_all)                                  # (L,dim),(L,dim,9)
-    # structured 9-marginal blocks (strided slices/diagonals instead of the
-    # (L,9,9) arbitrary-index gather, which dominated the fleet profile)
-    Spp = Sigma[0:6, 0:6]                                              # (6,6)
-    Spl = Sigma[0:6, 6:].reshape(6, L, 3).transpose(1, 0, 2)           # (L,6,3)
-    Sll = jnp.einsum(
-        "iaib->iab", Sigma[6:, 6:].reshape(L, 3, L, 3)
-    )                                                                  # (L,3,3)
-    Hp_, Hl_ = H[:, :, 0:6], H[:, :, 6:9]
-    S = (
-        jnp.einsum("ldi,ij,lej->lde", Hp_, Spp, Hp_)
-        + jnp.einsum("ldi,lik,lek->lde", Hp_, Spl, Hl_)
-        + jnp.einsum("ldk,lik,lei->lde", Hl_, Spl, Hp_)
-        + jnp.einsum("ldi,lik,lek->lde", Hl_, Sll, Hl_)
-        + Q
-    )                                                                  # (L,dim,dim)
-    S_inv = inv_small(S)                                               # (L,dim,dim)
-    nu = z_d[None, :, :] - z_hat[:, None, :]                           # (L,M,dim)
-    d_m = jnp.einsum("lmi,lij,lmj->lm", nu, S_inv, nu)                 # (L,M)
-
-    # --- candidates: back-projected new landmarks ---------------------------
-    cand = jax.vmap(lambda zi: sensor.backproject(zi, pose, params))(z)  # (M,3)
-
-    def cand_corr(c, zi):
-        zh = sensor.h(pose, c, params)
-        Hp = jax.jacfwd(lambda p6: sensor.h(p6, c, params))(pose)
-        Hl = jax.jacfwd(lambda l3: sensor.h(pose, l3, params))(c)
-        Hc = jnp.concatenate([Hp, Hl], axis=1)
-        Sig9c = jnp.zeros((9, 9), f32)
-        Sig9c = Sig9c.at[0:6, 0:6].set(Sigma[0:6, 0:6])
-        Sig9c = Sig9c.at[6:9, 6:9].set(jnp.diag(jnp.asarray(sensor.new_lm_cov, f32)))
-        Sc = Hc @ Sig9c @ Hc.T + Q
-        return Hc, inv_small(Sc), zi[:dim] - zh
-
-    H_cand, S_inv_cand, nu_cand = jax.vmap(cand_corr)(cand, z)         # (M,...)
-
-    # --- cost table (L+M rows × M cols), reference outlier semantics --------
-    gate = (d_m < lam) & state.active[:, None] & z_mask[None, :]
-    cost_known = jnp.where(gate, d_m, cfg.outlier_cost)                # (L,M)
-    eye = jnp.eye(M, dtype=bool)
-    cost_cand = jnp.where(eye, jnp.asarray(sensor.mh_dist(cfg), f32), cfg.outlier_cost)
-    cost = jnp.concatenate([cost_known, cost_cand], axis=0)            # (L+M,M)
-
-    if solver == "device":
-        col_to_row = assignment.hungarian(cost)
-    else:
-        col_to_row = assignment.hungarian_host(cost)
+    (H, S_inv, nu, cand, H_cand, S_inv_cand, nu_cand) = staged
 
     # --- sequential update in measurement order -----------------------------
     nu_known_per_obs = jnp.swapaxes(nu, 0, 1)                          # (M,L,dim)
@@ -660,6 +693,81 @@ def run(
         return step(cfg, params, state, tick, solver, update_mode)
 
     return jax.lax.scan(body, s0, timeline)
+
+
+def run_fleet(
+    batched_timeline: Timeline,
+    params: SlamParams,
+    cfg: EKFSlamConfig = EKFSlamConfig(),
+    update_mode: str = "auto",
+):
+    """Fleet replay with the assignment solved for ALL missions in one
+    in-lanes Mosaic JV kernel (``ops.slam_da_kernels.hungarian_lanes``).
+
+    The vmapped per-mission JV while_loop costs ~1.1 ms of the ~3.3 ms
+    fleet tick (per-op dispatch overhead — docs/ROOFLINE.md); splitting the
+    DA pass around the solver lets the fleet batch it. Semantics are
+    identical to ``jax.vmap(run)``: the staging and commit halves are the
+    same functions, and the lanes JV computes the same optimum (pinned by
+    tests against scipy and the dense path). MBES-only timelines (the
+    Monte-Carlo fleet configuration); FLS passes would take a second
+    stage/commit pair per tick."""
+    from ..ops import slam_da_kernels
+
+    if "fls" in batched_timeline.events:
+        raise NotImplementedError("run_fleet handles MBES timelines; use "
+                                  "jax.vmap(run) for FLS missions")
+
+    tl_t = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 0, 1), batched_timeline)
+    B = batched_timeline.ticks.shape[0]
+    s0 = init_state(cfg)
+    s0_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+
+    def body(state_b, tick_b):
+        odom = tick_b.channels["odom"]
+        if odom.value.shape[-1] >= 13:
+            from ..utils.geometry import rpy_from_quat
+
+            odom_pose = jnp.concatenate(
+                [odom.value[:, 0:3], jax.vmap(rpy_from_quat)(odom.value[:, 3:7])],
+                axis=1)
+        else:
+            odom_pose = odom.value[:, 0:6]
+        pred = jax.vmap(lambda s, o: predict(s, o, params))(state_b, odom_pose)
+
+        ev = tick_b.events["mbes"]
+
+        def do_pass(st):
+            cost, staged = jax.vmap(
+                lambda s, zv, zm: da_stage(s, zv, zm, params, cfg, MBES)
+            )(st, ev.value, ev.mask)
+            ctr = slam_da_kernels.hungarian_lanes(cost)
+            st2, matched = jax.vmap(
+                lambda s, c, sg, zv, zm: da_commit(
+                    s, c, sg, zv, zm, params, cfg, MBES, update_mode)
+            )(st, ctr, staged, ev.value, ev.mask)
+            return st2, matched
+
+        def skip(st):
+            return st, jnp.full(ev.mask.shape, -1, jnp.int32)
+
+        st, matched = jax.lax.cond(jnp.any(ev.mask), do_pass, skip, pred)
+
+        st = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                odom.valid.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            st, state_b)
+        out = {
+            "mu": st.mu[:, 0:6],
+            "n_active": st.n_active,
+            "matched_mbes": matched,
+        }
+        return st, out
+
+    final, out = jax.lax.scan(body, s0_b, tl_t)
+    return final, out
 
 
 def map_to_odom_correction(mu_pose: jnp.ndarray, odom_pose: jnp.ndarray) -> Transform:

@@ -1,0 +1,89 @@
+"""SLAM fleet path with the in-lanes JV kernel vs the per-mission dense path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from smarc_navigation_tpu.configs import EKFSlamConfig
+from smarc_navigation_tpu.io import sim
+from smarc_navigation_tpu.models import ekf_slam as slam
+from smarc_navigation_tpu.ops import assignment
+from smarc_navigation_tpu.ops.slam_da_kernels import hungarian_lanes
+from smarc_navigation_tpu.ops.timeline import build_timeline
+from smarc_navigation_tpu.parallel import fleet
+from smarc_navigation_tpu.utils.geometry import quat_from_rpy
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_hungarian_lanes_matches_dense_jv():
+    rng = np.random.default_rng(3)
+    B, R, C = 4, 40, 6
+    cost = np.full((B, R, C), 1e6, np.float32)
+    for b in range(B):
+        k = int(rng.integers(3, 25))
+        rr = rng.integers(0, R - C, k)
+        cc = rng.integers(0, C, k)
+        cost[b, rr, cc] = rng.uniform(0, 10, k).astype(np.float32)
+        for c in range(C):
+            cost[b, R - C + c, c] = 1.0
+    out = np.asarray(hungarian_lanes(jnp.asarray(cost)))
+    for b in range(B):
+        ref = np.asarray(assignment.hungarian(jnp.asarray(cost[b])))
+        co = cost[b][out[b], np.arange(C)].sum()
+        cr = cost[b][ref, np.arange(C)].sum()
+        assert np.isclose(co, cr), (b, out[b], ref)
+
+
+def _slam_tls(cfg, duration, seeds):
+    tls = []
+    for s in seeds:
+        m = sim.simulate(
+            sim.MissionSpec(duration_s=duration, num_landmarks=12,
+                            mbes_std=0.05, landmark_area_m=50.0,
+                            mbes_range_m=30.0, gps_surface_z=-100.0, seed=s)
+        )
+        ticks = np.arange(0, duration + 1e-9, 1.0 / cfg.system_freq)
+        gt = m.gt_at(ticks)
+        quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
+        k = np.clip((ticks * m.spec.sim_hz).astype(int), 0, len(m.t) - 1)
+        odom13 = np.concatenate(
+            [gt[:, 0:3], quat, m.vel_body[k], m.gyro[k]], axis=1)
+        det = m.streams["mbes_detections"]
+        tls.append(build_timeline(
+            t0=0.0, t1=duration, freq_hz=cfg.system_freq,
+            channels={"odom": (ticks, odom13)},
+            events={"mbes": (det["stamps"], det["values"], det["burst"],
+                             cfg.max_obs)}))
+    return tls
+
+
+def test_run_fleet_matches_vmapped_run():
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=16, max_obs=4,
+        mhl_dist_mbes=1.0, q_mbes_diag=(0.1,) * 3, r_diag=(1e-3,) * 6)
+    params = slam.make_params(cfg)
+    tls = _slam_tls(cfg, 6.0, [1, 2])
+    batched = fleet.batch_timelines(tls)
+
+    final_f, out_f = slam.run_fleet(batched, params, cfg, update_mode="full")
+
+    for b, tl in enumerate(tls):
+        final_d, out_d = slam.run(tl, params, cfg, update_mode="full")
+        np.testing.assert_allclose(
+            np.asarray(out_f["mu"][:, b]), np.asarray(out_d["mu"]),
+            atol=2e-3)
+        # same landmark bank evolution and association decisions
+        assert int(final_f.n_active[b]) == int(final_d.n_active)
+        mf = np.asarray(out_f["matched_mbes"][:, b])
+        md = np.asarray(out_d["matched_mbes"])
+        agree = (mf == md).mean()
+        assert agree == 1.0, f"mission {b}: match agreement {agree}"
