@@ -118,12 +118,9 @@ def main():
     slam_params = slam.make_params(cfg)
 
     def run_slam_fleet(t):
-        def one(tl):
-            final, out = slam.run(tl, slam_params, cfg)
-            return final.mu[0:6], final.n_active
-
-        mus, nact = jax.vmap(one)(t)
-        return jnp.sum(mus) + jnp.sum(nact)
+        # fleet path: in-lanes JV assignment kernel (ops/slam_da_kernels.py)
+        final, out = slam.run_fleet(t, slam_params, cfg)
+        return jnp.sum(final.mu[:, 0:6]) + jnp.sum(final.n_active)
 
     run1 = jax.jit(run_slam_fleet)
     b_small = slam_timelines(cfg, 15.0, B)
@@ -150,12 +147,8 @@ def main():
     params256 = slam.make_params(cfg256)
 
     def run_slam_fleet256(t):
-        def one(tl):
-            final, out = slam.run(tl, params256, cfg256)
-            return final.mu[0:6], final.n_active
-
-        mus, nact = jax.vmap(one)(t)
-        return jnp.sum(mus) + jnp.sum(nact)
+        final, out = slam.run_fleet(t, params256, cfg256)
+        return jnp.sum(final.mu[:, 0:6]) + jnp.sum(final.n_active)
 
     run256 = jax.jit(run_slam_fleet256)
     b256_small = slam_timelines(cfg256, 15.0, B256)

@@ -721,9 +721,33 @@ def run_fleet(
     tl_t = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, 0, 1), batched_timeline)
     B = batched_timeline.ticks.shape[0]
+    L = cfg.max_landmarks
     s0 = init_state(cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+
+    from ..ops import slam_kernels
+
+    def commit_preselected(st, H_sel, SinvH, nu_sel, cand, do, add, slot):
+        """Per-mission commit from the DA kernel's preselected tensors —
+        the pallas branch of ``da_commit`` minus the selection it already
+        did in-lanes."""
+        f32 = st.mu.dtype
+        lm_ix = 6 + 3 * slot
+        mu = st.mu
+        tgt = jnp.where(add[:, None], lm_ix[:, None] + jnp.arange(3),
+                        mu.shape[0])
+        mu = mu.at[tgt.reshape(-1)].set(cand.astype(f32).reshape(-1),
+                                        mode="drop")
+        active = st.active.at[jnp.where(add, slot, L)].set(True, mode="drop")
+        n_active = st.n_active + jnp.sum(add)
+        Sigma, mu = slam_kernels.sequential_update(
+            st.Sigma, mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
+            jnp.asarray(MBES.new_lm_cov, f32))
+        matched = jnp.where(do, slot, -1)
+        return SlamState(mu=mu, Sigma=Sigma, active=active,
+                         n_active=n_active,
+                         mu_auv_odom=st.mu_auv_odom), matched
 
     def body(state_b, tick_b):
         odom = tick_b.channels["odom"]
@@ -740,14 +764,18 @@ def run_fleet(
         ev = tick_b.events["mbes"]
 
         def do_pass(st):
-            cost, staged = jax.vmap(
-                lambda s, zv, zm: da_stage(s, zv, zm, params, cfg, MBES)
-            )(st, ev.value, ev.mask)
-            ctr = slam_da_kernels.hungarian_lanes(cost)
-            st2, matched = jax.vmap(
-                lambda s, c, sg, zv, zm: da_commit(
-                    s, c, sg, zv, zm, params, cfg, MBES, update_mode)
-            )(st, ctr, staged, ev.value, ev.mask)
+            ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = (
+                slam_da_kernels.da_lanes(
+                    st.mu[:, 0:6], st.n_active, st.active,
+                    st.mu[:, 6:].reshape(B, L, 3), st.Sigma,
+                    ev.value[:, :, 0:3], ev.mask,
+                    jnp.diagonal(params.Q_mbes), params.lambda_mbes,
+                    cfg.outlier_cost, cfg.mhl_dist_mbes,
+                    jnp.asarray(MBES.new_lm_cov),
+                )
+            )
+            st2, matched = jax.vmap(commit_preselected)(
+                st, H_sel, SinvH, nu_sel, cand, do, add, slot)
             return st2, matched
 
         def skip(st):

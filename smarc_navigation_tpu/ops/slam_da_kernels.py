@@ -141,6 +141,301 @@ def _make_jv_kernel(R: int, C: int):
     return kernel
 
 
+# ===========================================================================
+# whole-DA kernel: correspondence + cost + JV + selection, MBES
+# ===========================================================================
+
+def _make_da_kernel(L: int, M: int):
+    """Factory for the full MBES data-association stage in one program:
+    batched correspondence over the landmark bank, candidate back-
+    projections, the (L+M, M) cost table, the exact in-lanes JV, and the
+    per-measurement selection + slot bookkeeping — everything between the
+    motion predict and the sequential-update kernel, with missions in the
+    VPU lanes.
+
+    Inputs (lane-major, B = padded mission lanes):
+      par  (1,16) SMEM: [q0,q1,q2, lam, outlier, mh_dist, nl0,nl1,nl2, ...]
+      pose (8,B): rows 0-5 mu pose, row 6 n_active
+      act  (L,B): active mask
+      lm   (3L,B): landmark positions, blocks [a*L + l]
+      spp  (36,B); spl (18L,B) blocks [(i*3+k)*L + l]; sll (9L,B)
+      z    (M*8,B): per m rows [z0,z1,z2,mask,0,0,0,0]
+
+    Output (M*64,B) per measurement m (base = 64m):
+      rows 0-26 H_sel (3x9 row-major), 27-53 SinvH, 54-56 nu_sel,
+      57-59 cand, 60 col_to_row, 61 do, 62 add, 63 slot
+
+    Semantics pinned to ``ekf_slam.da_stage`` + the selection prologue of
+    the pallas branch in ``ekf_slam.da_commit`` (itself cited to
+    ``ekf_slam_core.cpp:184-340``)."""
+    from .loc_kernels import _drot_entries, _rot_entries
+
+    def kernel(par_ref, pose_ref, act_ref, lm_ref, spp_ref, spl_ref, sll_ref,
+               z_ref, out_ref):
+        qd = [par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]]
+        lam = par_ref[0, 3]
+        outl = par_ref[0, 4]
+        mh = par_ref[0, 5]
+        nl = [par_ref[0, 6], par_ref[0, 7], par_ref[0, 8]]
+
+        mu = [pose_ref[i:i + 1, :] for i in range(6)]
+        n_act = pose_ref[6:7, :]
+        active = act_ref[:, :] > 0.5                              # (L,B)
+
+        sr, cr = jnp.sin(mu[3]), jnp.cos(mu[3])
+        sp, cp = jnp.sin(mu[4]), jnp.cos(mu[4])
+        sy, cy = jnp.sin(mu[5]), jnp.cos(mu[5])
+        Rm = _rot_entries(sr, cr, sp, cp, sy, cy)
+        dR = _drot_entries(sr, cr, sp, cp, sy, cy)
+
+        lm = [lm_ref[a * L:(a + 1) * L, :] for a in range(3)]     # (L,B)
+        Spp = [[spp_ref[i * 6 + j:i * 6 + j + 1, :] for j in range(6)]
+               for i in range(6)]
+        Spl = [[spl_ref[(i * 3 + k) * L:(i * 3 + k) * L + L, :]
+                for k in range(3)] for i in range(6)]             # (L,B)
+        Sll = [[sll_ref[(a * 3 + c) * L:(a * 3 + c) * L + L, :]
+                for c in range(3)] for a in range(3)]
+
+        # --- correspondence for every slot (h = R^T(lm - p)) ---------------
+        diff = [lm[a] - mu[a] for a in range(3)]                  # (L,B)
+        zh = [sum(Rm[j][i] * diff[j] for j in range(3)) for i in range(3)]
+        # H = [Hp | Hl]: Hp = [-R^T | dR^T/da . diff], Hl = R^T
+        Ha = [[sum(dR[k][j][i] * diff[j] for j in range(3)) for k in range(3)]
+              for i in range(3)]                                  # (L,B)
+        Hp = [[-Rm[j][i] for j in range(3)] for i in range(3)]    # (1,B)
+        Hl = [[Rm[j][i] for j in range(3)] for i in range(3)]     # (1,B)
+
+        def Hcol(a, c):     # column c of the (3,9) H for the bank slots
+            if c < 3:
+                return Hp[a][c]
+            if c < 6:
+                return Ha[a][c - 3]
+            return Hl[a][c - 6]
+
+        # W = H Sigma9 (3x9), S = W H^T + Q — Sigma9 blockwise:
+        # cols 0-5 pose, 6-8 landmark; Spl rows are pose-major
+        def Sig9(c, d):
+            if c < 6 and d < 6:
+                return Spp[c][d]
+            if c < 6:
+                return Spl[c][d - 6]
+            if d < 6:
+                return Spl[d][c - 6]
+            return Sll[c - 6][d - 6]
+
+        W = [[sum(Hcol(a, c) * Sig9(c, d) for c in range(9)) for d in range(9)]
+             for a in range(3)]
+        S = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(a, 3):
+                s = sum(W[a][d] * Hcol(b, d) for d in range(9))
+                if a == b:
+                    s = s + qd[a]
+                S[a][b] = s
+                S[b][a] = s
+
+        def inv3(S):
+            c00 = S[1][1] * S[2][2] - S[1][2] * S[1][2]
+            c01 = S[0][2] * S[1][2] - S[0][1] * S[2][2]
+            c02 = S[0][1] * S[1][2] - S[0][2] * S[1][1]
+            det = S[0][0] * c00 + S[0][1] * c01 + S[0][2] * c02
+            inv_det = 1.0 / det
+            Si = [[None] * 3 for _ in range(3)]
+            Si[0][0] = c00 * inv_det
+            Si[0][1] = c01 * inv_det
+            Si[0][2] = c02 * inv_det
+            Si[1][1] = (S[0][0] * S[2][2] - S[0][2] * S[0][2]) * inv_det
+            Si[1][2] = (S[0][1] * S[0][2] - S[0][0] * S[1][2]) * inv_det
+            Si[2][2] = (S[0][0] * S[1][1] - S[0][1] * S[0][1]) * inv_det
+            Si[1][0] = Si[0][1]
+            Si[2][0] = Si[0][2]
+            Si[2][1] = Si[1][2]
+            return Si
+
+        Si = inv3(S)                                              # (L,B) comps
+
+        # --- per measurement: innovation, gate, candidates, cost -----------
+        z = []
+        zmask = []
+        nu_all = []
+        costblks = []
+        cands = []
+        Hc_all = []
+        Sic_all = []
+        nuc_all = []
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0).astype(jnp.float32)
+        for m in range(M):
+            zr = z_ref[m * 8:(m + 1) * 8, :]
+            zm = [zr[i:i + 1, :] for i in range(3)]
+            valid = zr[3:4, :] > 0.5
+            z.append(zm)
+            zmask.append(valid)
+            nu_m = [zm[a] - zh[a] for a in range(3)]               # (L,B)
+            nu_all.append(nu_m)
+            dm = sum(nu_m[a] * Si[a][b] * nu_m[b]
+                     for a in range(3) for b in range(3))
+            gate = (dm < lam) & active & valid
+            known = jnp.where(gate, dm, outl)                     # (L,B)
+            crow = jnp.where(iota_m == float(m), mh, outl)        # (M,1)->(M,B)
+            crow = jnp.broadcast_to(crow, (M, known.shape[1]))
+            costblks.append(jnp.concatenate([known, crow], axis=0))
+
+            # candidate back-projection c = R z + p, and its correspondence
+            cm = [sum(Rm[a][j] * zm[j] for j in range(3)) + mu[a]
+                  for a in range(3)]                               # (1,B)
+            cands.append(cm)
+            diff_c = [cm[a] - mu[a] for a in range(3)]
+            zh_c = [sum(Rm[j][i] * diff_c[j] for j in range(3)) for i in range(3)]
+            Ha_c = [[sum(dR[k][j][i] * diff_c[j] for j in range(3))
+                     for k in range(3)] for i in range(3)]
+
+            def Hcol_c(a, c):
+                if c < 3:
+                    return Hp[a][c]
+                if c < 6:
+                    return Ha_c[a][c - 3]
+                return Hl[a][c - 6]
+
+            def Sig9c(c, d):
+                if c < 6 and d < 6:
+                    return Spp[c][d]
+                if c >= 6 and d >= 6 and c == d:
+                    return nl[c - 6]
+                return 0.0
+
+            Wc = [[sum(Hcol_c(a, c) * Sig9c(c, d) for c in range(9))
+                   for d in range(9)] for a in range(3)]
+            Sc = [[None] * 3 for _ in range(3)]
+            for a in range(3):
+                for b in range(a, 3):
+                    s = sum(Wc[a][d] * Hcol_c(b, d) for d in range(9))
+                    if a == b:
+                        s = s + qd[a]
+                    Sc[a][b] = s
+                    Sc[b][a] = s
+            Sic = inv3(Sc)
+            nuc = [zm[a] - zh_c[a] for a in range(3)]
+            Hc_all.append(Hcol_c)
+            Sic_all.append(Sic)
+            nuc_all.append(nuc)
+
+        # --- exact JV over (L+M, M) ----------------------------------------
+        ctr = _jv_lanes(costblks, L + M, M)                        # M x (1,B)
+
+        # --- selection + slot bookkeeping ----------------------------------
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(jnp.float32)
+        cum_can_add = jnp.zeros_like(n_act)
+        for m in range(M):
+            r = ctr[m]                                             # (1,B)
+            is_new = r >= float(L)
+            r_clip = jnp.minimum(r, float(L - 1))
+            oh = (iota_l == r_clip).astype(jnp.float32)            # (L,B)
+
+            def pickl(q):
+                return jnp.sum(q * oh, axis=0, keepdims=True)
+
+            can_add = zmask[m] & is_new & (n_act + cum_can_add < float(L))
+            do = zmask[m] & (can_add | ~is_new)
+            new_slot = n_act + cum_can_add
+            slot = jnp.where(is_new, new_slot, r_clip)
+            cum_can_add = cum_can_add + jnp.where(can_add, 1.0, 0.0)
+
+            Hsel = [[jnp.where(is_new, Hc_all[m](a, c),
+                               Hcol(a, c) if c < 3 or c >= 6 else pickl(Ha[a][c - 3]))
+                     for c in range(9)] for a in range(3)]
+            Sisel = [[jnp.where(is_new, Sic_all[m][a][b], pickl(Si[a][b]))
+                      for b in range(3)] for a in range(3)]
+            nusel = [jnp.where(is_new, nuc_all[m][a], pickl(nu_all[m][a]))
+                     for a in range(3)]
+            SinvH = [[sum(Sisel[a][b] * Hsel[b][c] for b in range(3))
+                      for c in range(9)] for a in range(3)]
+
+            base = m * 64
+            for a in range(3):
+                for c in range(9):
+                    out_ref[base + a * 9 + c:base + a * 9 + c + 1, :] = Hsel[a][c]
+                    out_ref[base + 27 + a * 9 + c:base + 28 + a * 9 + c, :] = SinvH[a][c]
+                out_ref[base + 54 + a:base + 55 + a, :] = nusel[a]
+                out_ref[base + 57 + a:base + 58 + a, :] = cands[m][a]
+            out_ref[base + 60:base + 61, :] = ctr[m]
+            out_ref[base + 61:base + 62, :] = jnp.where(do, 1.0, 0.0)
+            out_ref[base + 62:base + 63, :] = jnp.where(can_add, 1.0, 0.0)
+            out_ref[base + 63:base + 64, :] = slot
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=())
+def da_lanes(
+    pose6: jnp.ndarray,     # (B, 6)
+    n_active: jnp.ndarray,  # (B,)
+    active: jnp.ndarray,    # (B, L) bool
+    lm_pos: jnp.ndarray,    # (B, L, 3)
+    Sigma: jnp.ndarray,     # (B, D, D), D = 6 + 3L
+    z: jnp.ndarray,         # (B, M, 3)
+    z_mask: jnp.ndarray,    # (B, M) bool
+    q_diag: jnp.ndarray,    # (3,)
+    lam, outlier, mh_dist,
+    new_lm_cov: jnp.ndarray,  # (3,)
+):
+    """Whole MBES DA stage for a fleet -> dict of per-measurement tensors.
+
+    Returns (col_to_row (B,M) i32, H_sel (B,M,3,9), SinvH (B,M,3,9),
+    nu_sel (B,M,3), cand (B,M,3), do (B,M) bool, add (B,M) bool,
+    slot (B,M) i32)."""
+    B, M = z.shape[0], z.shape[1]
+    L = active.shape[1]
+    f32 = jnp.float32
+    Bp = max(128, ((B + 127) // 128) * 128)
+
+    def lanes(x, rows):
+        out = jnp.zeros((rows, Bp), f32)
+        return out.at[:, :B].set(x.astype(f32).T)
+
+    pose_in = jnp.zeros((8, Bp), f32)
+    pose_in = pose_in.at[0:6, :B].set(pose6.astype(f32).T)
+    pose_in = pose_in.at[6, :B].set(n_active.astype(f32))
+    act_in = lanes(active, L)
+    lm_in = lanes(lm_pos.transpose(0, 2, 1).reshape(B, 3 * L), 3 * L)
+    spp_in = lanes(Sigma[:, 0:6, 0:6].reshape(B, 36), 36)
+    # spl blocks [(i*3+k)*L + l] = Sigma[b, i, 6+3l+k]
+    spl = Sigma[:, 0:6, 6:].reshape(B, 6, L, 3)
+    spl_in = lanes(spl.transpose(0, 1, 3, 2).reshape(B, 18 * L), 18 * L)
+    # sll blocks [(a*3+c)*L + l] = Sigma[b, 6+3l+a, 6+3l+c]
+    sll = jnp.einsum("blalc->blac", Sigma[:, 6:, 6:].reshape(B, L, 3, L, 3))
+    sll_in = lanes(sll.transpose(0, 2, 3, 1).reshape(B, 9 * L), 9 * L)
+    z_in = jnp.zeros((M * 8, Bp), f32)
+    zmix = jnp.zeros((B, M, 8), f32)
+    zmix = zmix.at[:, :, 0:3].set(z.astype(f32))
+    zmix = zmix.at[:, :, 3].set(z_mask.astype(f32))
+    z_in = z_in.at[:, :B].set(zmix.reshape(B, M * 8).T)
+    par = jnp.zeros((1, 16), f32)
+    par = par.at[0, 0:3].set(q_diag.astype(f32))
+    par = par.at[0, 3].set(jnp.asarray(lam, f32))
+    par = par.at[0, 4].set(jnp.asarray(outlier, f32))
+    par = par.at[0, 5].set(jnp.asarray(mh_dist, f32))
+    par = par.at[0, 6:9].set(new_lm_cov.astype(f32))
+
+    out = pl.pallas_call(
+        _make_da_kernel(L, M),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M * 64, Bp), jnp.float32),
+    )(par, pose_in, act_in, lm_in, spp_in, spl_in, sll_in, z_in)
+
+    o = out[:, :B].T.reshape(B, M, 64)
+    H_sel = o[:, :, 0:27].reshape(B, M, 3, 9)
+    SinvH = o[:, :, 27:54].reshape(B, M, 3, 9)
+    nu_sel = o[:, :, 54:57]
+    cand = o[:, :, 57:60]
+    ctr = jnp.round(o[:, :, 60]).astype(jnp.int32)
+    do = o[:, :, 61] > 0.5
+    add = o[:, :, 62] > 0.5
+    slot = jnp.round(o[:, :, 63]).astype(jnp.int32)
+    return ctr, H_sel, SinvH, nu_sel, cand, do, add, slot
+
+
 @functools.partial(jax.jit, static_argnames=())
 def hungarian_lanes(cost: jnp.ndarray) -> jnp.ndarray:
     """Exact JV assignment for a fleet: cost (B, R, C) -> col_to_row (B, C).
