@@ -695,6 +695,52 @@ def run(
     return jax.lax.scan(body, s0, timeline)
 
 
+def commit_preselected(st: SlamState, H_sel, SinvH, nu_sel, cand, do, add,
+                       slot, cfg: EKFSlamConfig,
+                       sensor: SensorSpec = None):
+    """Per-mission commit from the DA kernel's preselected tensors — the
+    pallas branch of ``da_commit`` minus the selection it already did
+    in-lanes (``ops.slam_da_kernels.da_lanes``)."""
+    from ..ops import slam_kernels
+
+    sensor = MBES if sensor is None else sensor
+    L = cfg.max_landmarks
+    f32 = st.mu.dtype
+    lm_ix = 6 + 3 * slot
+    mu = st.mu
+    tgt = jnp.where(add[:, None], lm_ix[:, None] + jnp.arange(3), mu.shape[0])
+    mu = mu.at[tgt.reshape(-1)].set(cand.astype(f32).reshape(-1), mode="drop")
+    active = st.active.at[jnp.where(add, slot, L)].set(True, mode="drop")
+    n_active = st.n_active + jnp.sum(add)
+    Sigma, mu = slam_kernels.sequential_update(
+        st.Sigma, mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
+        jnp.asarray(sensor.new_lm_cov, f32))
+    matched = jnp.where(do, slot, -1)
+    return SlamState(mu=mu, Sigma=Sigma, active=active, n_active=n_active,
+                     mu_auv_odom=st.mu_auv_odom), matched
+
+
+def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
+                  cfg: EKFSlamConfig):
+    """Fleet MBES DA pass: in-lanes DA kernel + vmapped preselected commit.
+    state_b is a batched SlamState; z_b (B, M, 3), mask_b (B, M)."""
+    from ..ops import slam_da_kernels
+
+    B = state_b.mu.shape[0]
+    L = cfg.max_landmarks
+    ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = slam_da_kernels.da_lanes(
+        state_b.mu[:, 0:6], state_b.n_active, state_b.active,
+        state_b.mu[:, 6:].reshape(B, L, 3), state_b.Sigma,
+        z_b[:, :, 0:3], mask_b,
+        jnp.diagonal(params.Q_mbes), params.lambda_mbes,
+        cfg.outlier_cost, cfg.mhl_dist_mbes, jnp.asarray(MBES.new_lm_cov),
+    )
+    return jax.vmap(
+        lambda s, h, sh, nu, c, d, a, sl: commit_preselected(
+            s, h, sh, nu, c, d, a, sl, cfg)
+    )(state_b, H_sel, SinvH, nu_sel, cand, do, add, slot)
+
+
 def run_fleet(
     batched_timeline: Timeline,
     params: SlamParams,
@@ -712,8 +758,6 @@ def run_fleet(
     tests against scipy and the dense path). MBES-only timelines (the
     Monte-Carlo fleet configuration); FLS passes would take a second
     stage/commit pair per tick."""
-    from ..ops import slam_da_kernels
-
     if "fls" in batched_timeline.events:
         raise NotImplementedError("run_fleet handles MBES timelines; use "
                                   "jax.vmap(run) for FLS missions")
@@ -725,29 +769,6 @@ def run_fleet(
     s0 = init_state(cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
-
-    from ..ops import slam_kernels
-
-    def commit_preselected(st, H_sel, SinvH, nu_sel, cand, do, add, slot):
-        """Per-mission commit from the DA kernel's preselected tensors —
-        the pallas branch of ``da_commit`` minus the selection it already
-        did in-lanes."""
-        f32 = st.mu.dtype
-        lm_ix = 6 + 3 * slot
-        mu = st.mu
-        tgt = jnp.where(add[:, None], lm_ix[:, None] + jnp.arange(3),
-                        mu.shape[0])
-        mu = mu.at[tgt.reshape(-1)].set(cand.astype(f32).reshape(-1),
-                                        mode="drop")
-        active = st.active.at[jnp.where(add, slot, L)].set(True, mode="drop")
-        n_active = st.n_active + jnp.sum(add)
-        Sigma, mu = slam_kernels.sequential_update(
-            st.Sigma, mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
-            jnp.asarray(MBES.new_lm_cov, f32))
-        matched = jnp.where(do, slot, -1)
-        return SlamState(mu=mu, Sigma=Sigma, active=active,
-                         n_active=n_active,
-                         mu_auv_odom=st.mu_auv_odom), matched
 
     def body(state_b, tick_b):
         odom = tick_b.channels["odom"]
@@ -764,19 +785,7 @@ def run_fleet(
         ev = tick_b.events["mbes"]
 
         def do_pass(st):
-            ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = (
-                slam_da_kernels.da_lanes(
-                    st.mu[:, 0:6], st.n_active, st.active,
-                    st.mu[:, 6:].reshape(B, L, 3), st.Sigma,
-                    ev.value[:, :, 0:3], ev.mask,
-                    jnp.diagonal(params.Q_mbes), params.lambda_mbes,
-                    cfg.outlier_cost, cfg.mhl_dist_mbes,
-                    jnp.asarray(MBES.new_lm_cov),
-                )
-            )
-            st2, matched = jax.vmap(commit_preselected)(
-                st, H_sel, SinvH, nu_sel, cand, do, add, slot)
-            return st2, matched
+            return da_lanes_pass(st, ev.value, ev.mask, params, cfg)
 
         def skip(st):
             return st, jnp.full(ev.mask.shape, -1, jnp.int32)

@@ -124,6 +124,7 @@ def run_raycast_fleet(
     slam_params: slam.SlamParams,
     mbes_spec=None,
     device_mesh=None,
+    use_da_kernel: bool | None = None,
 ):
     """Fully closed-loop Monte-Carlo fleet: per tick and per mission, render
     an MBES ping against the mission's rock field (``ops.raycast``), extract
@@ -137,21 +138,47 @@ def run_raycast_fleet(
 
     spec = raycast.MBESSpec() if mbes_spec is None else mbes_spec
 
-    def mission(gt_track, lms, lmm):
-        def step_fn(state, pose):
-            pts, mask = raycast.ping_detections(
-                pose, lms, lmm, spec, max_detections=slam_cfg.max_obs
-            )
-            pred = slam.predict(state, pose, slam_params)
-            st, _ = slam.data_associate_update(
-                pred, pts, mask, slam_params, slam_cfg, slam.MBES
-            )
-            return st, (st.mu[0:6], st.n_active)
+    if use_da_kernel is None:
+        use_da_kernel = jax.default_backend() == "tpu"
+    if device_mesh is not None or not use_da_kernel:
+        # sharded/CPU path: per-mission scan (the in-lanes DA kernel is a
+        # single-device TPU program; GSPMD shards the vmapped variant)
+        def mission(gt_track, lms, lmm):
+            def step_fn(state, pose):
+                pts, mask = raycast.ping_detections(
+                    pose, lms, lmm, spec, max_detections=slam_cfg.max_obs
+                )
+                pred = slam.predict(state, pose, slam_params)
+                st, _ = slam.data_associate_update(
+                    pred, pts, mask, slam_params, slam_cfg, slam.MBES
+                )
+                return st, (st.mu[0:6], st.n_active)
 
-        return jax.lax.scan(step_fn, slam.init_state(slam_cfg), gt_track)
+            return jax.lax.scan(step_fn, slam.init_state(slam_cfg), gt_track)
 
-    if device_mesh is not None:
-        gt_tracks = mesh_lib.shard_missions(gt_tracks, device_mesh)
-        landmark_sets = mesh_lib.shard_missions(landmark_sets, device_mesh)
-        lm_masks = mesh_lib.shard_missions(lm_masks, device_mesh)
-    return jax.vmap(mission)(gt_tracks, landmark_sets, lm_masks)
+        if device_mesh is not None:
+            gt_tracks = mesh_lib.shard_missions(gt_tracks, device_mesh)
+            landmark_sets = mesh_lib.shard_missions(landmark_sets, device_mesh)
+            lm_masks = mesh_lib.shard_missions(lm_masks, device_mesh)
+        return jax.vmap(mission)(gt_tracks, landmark_sets, lm_masks)
+
+    # single-device fleet: render + predict vmapped, DA through the
+    # missions-in-lanes kernel (ops/slam_da_kernels — ~2.8x the vmapped step)
+    B = gt_tracks.shape[0]
+    s0 = slam.init_state(slam_cfg)
+    s0_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+
+    def body(state_b, pose_b):
+        pts, mask = jax.vmap(
+            lambda p, l, m: raycast.ping_detections(
+                p, l, m, spec, max_detections=slam_cfg.max_obs)
+        )(pose_b, landmark_sets, lm_masks)
+        pred = jax.vmap(lambda s, p: slam.predict(s, p, slam_params))(
+            state_b, pose_b)
+        st, _m = slam.da_lanes_pass(pred, pts, mask, slam_params, slam_cfg)
+        return st, (st.mu[:, 0:6], st.n_active)
+
+    final, (mu_t, nact_t) = jax.lax.scan(
+        body, s0_b, jnp.moveaxis(gt_tracks, 0, 1))
+    return final, (jnp.moveaxis(mu_t, 0, 1), jnp.moveaxis(nact_t, 0, 1))

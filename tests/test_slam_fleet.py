@@ -90,3 +90,32 @@ def test_run_fleet_matches_vmapped_run():
         md = np.asarray(out_d["matched_mbes"])
         agree = (mf == md).mean()
         assert agree == 1.0, f"mission {b}: match agreement {agree}"
+
+
+def test_raycast_fleet_kernel_matches_dense():
+    """Closed-loop raycast fleet through the DA kernel vs the vmapped dense
+    step (interpret mode)."""
+    from smarc_navigation_tpu.ops import raycast
+    from smarc_navigation_tpu.parallel.fleet import run_raycast_fleet
+
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=16, max_obs=4,
+        mhl_dist_mbes=1.0, q_mbes_diag=(0.1,) * 3, r_diag=(1e-3,) * 6)
+    params = slam.make_params(cfg)
+    rng = np.random.default_rng(0)
+    B, T = 2, 40
+    m = sim.simulate(sim.MissionSpec(duration_s=10.0, seed=1))
+    ticks = np.arange(T) / cfg.system_freq
+    gt = jnp.asarray(np.tile(m.gt_at(ticks).astype(np.float32), (B, 1, 1)))
+    lms = jnp.asarray(rng.uniform([0, -20, -16], [40, 20, -12], (B, 8, 3)),
+                      jnp.float32)
+    lmm = jnp.ones((B, 8), bool)
+    spec = raycast.MBESSpec(num_beams=32, floor_z=-16.0, rock_radius=1.2,
+                            swath_rad=2.4, max_range=40.0)
+
+    fin_k, (mu_k, na_k) = run_raycast_fleet(gt, lms, lmm, cfg, params, spec,
+                                            use_da_kernel=True)
+    fin_d, (mu_d, na_d) = run_raycast_fleet(gt, lms, lmm, cfg, params, spec,
+                                            use_da_kernel=False)
+    np.testing.assert_allclose(np.asarray(mu_k), np.asarray(mu_d), atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(na_k), np.asarray(na_d))
