@@ -226,6 +226,28 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- 15-state dual EKF fleet (lanes kernel) ------------------------------
+    from smarc_navigation_tpu.models import ekf_15state as e15
+    from smarc_navigation_tpu.ops import ekf15_kernels
+
+    cfg15 = e15.Ekf15Config(frequency=50.0)
+    r15 = {}
+    T15 = {}
+    for dur, key in ((15.0, "s"), (240.0, "b")):
+        m15 = sim.simulate(sim.MissionSpec(duration_s=dur, seed=5))
+        tl15 = e15.ekf15_timeline(m15, cfg15, include_gps=True)
+        bt15 = fleet.batch_timelines([tl15] * 64)
+        T15[key] = int(bt15.ticks.shape[1])
+        fn15 = lambda t: jnp.sum(ekf15_kernels.run_fleet15(t, cfg15)[1]["x"])
+        r15[key] = timed(fn15, bt15)
+    per15 = max(r15["b"] - r15["s"], 1e-9) / (T15["b"] - T15["s"])
+    e15_steps = 64 / per15
+    print(
+        f"# ekf15 fleet (lanes kernel): 64 missions, {per15*1e6:.2f} us/fleet-tick"
+        f" -> {e15_steps:,.0f} steps/s",
+        file=sys.stderr,
+    )
+
     # ---- closed-loop Monte-Carlo raycast fleet (BASELINE config: 1024) -------
     from smarc_navigation_tpu.ops import raycast
     from smarc_navigation_tpu.parallel.fleet import run_raycast_fleet
@@ -274,6 +296,7 @@ def main():
                     "ekf_slam_steps_per_sec_fleet32_L256_reftuned": round(slam256_steps, 1),
                     "raycast_fleet_closed_loop_steps_per_sec_1024": round(rc_steps, 1),
                     "ekf_localization_steps_per_sec_fleet64": round(loc_steps, 1),
+                    "ekf15_steps_per_sec_fleet64": round(e15_steps, 1),
                 },
             }
         )
