@@ -230,59 +230,40 @@ def _make_ekf15_kernel(sensor_idx: Tuple[Tuple[int, ...], ...],
     return kernel
 
 
-def run_fleet15(batched_timeline, cfg, x0=None):
-    """Fleet replay of the 15-state EKF through the lanes kernel.
-
-    ``batched_timeline`` leaves are (B, T, ...) as from
-    ``fleet.batch_timelines`` of ``ekf_15state.ekf15_timeline`` outputs.
-    Returns (final (x (B,15), P (B,15,15)), out {"x": (T,B,15),
-    "p_diag": (T,B,15)}). Sensor wiring, process noise, and control shaping
-    are read from ``cfg`` exactly as the dense ``ekf_15state.run``."""
-    from ..models import ekf_15state as e15
-
-    tl = batched_timeline
+@functools.partial(jax.jit, static_argnames=(
+    "sensor_idx", "sensor_noise", "timeouts", "channels", "q_diag",
+    "gains", "limits", "use_control", "use_cmd"))
+def _run_fleet15_jit(tl, x0, P0, sensor_idx, sensor_noise, timeouts,
+                     channels, q_diag, gains, limits, use_control, use_cmd):
     B, T = tl.ticks.shape
     f32 = jnp.float32
     Bp = max(128, ((B + 127) // 128) * 128)
-
-    sensors = [s for s in cfg.sensors if s.channel in tl.channels]
-    sensor_idx = tuple(
-        tuple(int(i) for i in np.where(np.asarray(s.mask))[0]) for s in sensors)
-    sensor_noise = tuple(
-        tuple(float(max(np.asarray(s.noise_diag)[i], 1e-9))
-              for i in np.where(np.asarray(s.mask))[0]) for s in sensors)
-
-    # ---- per-tick staging, lane-major (T, rows, Bp) ------------------------
     rows = 4 + sum(len(ix) + 1 for ix in sensor_idx)
+
     parts = []
     dts = jnp.diff(tl.ticks, axis=1, prepend=jnp.zeros((B, 1), tl.ticks.dtype))
-    parts.append(dts[..., None])                                # dt
-    if cfg.use_control and "cmd_vel" in tl.channels:
+    parts.append(dts[..., None])
+    if use_cmd:
         cmd = tl.channels["cmd_vel"]
         parts.append(cmd.value[..., 0:2])
         parts.append(cmd.valid[..., None].astype(f32))
     else:
         parts.append(jnp.zeros((B, T, 3), f32))
-    for s, ix in zip(sensors, sensor_idx):
-        ch = tl.channels[s.channel]
+    for name, ix, to in zip(channels, sensor_idx, timeouts):
+        ch = tl.channels[name]
         parts.append(ch.value[..., list(ix)])
-        apply_f = ch.fresh & (ch.age < s.timeout_s)
+        apply_f = ch.fresh & (ch.age < to)
         parts.append(apply_f[..., None].astype(f32))
     tick_bt = jnp.concatenate([p.astype(f32) for p in parts], axis=2)
-
     tick_t = jnp.zeros((T, rows, Bp), f32)
     tick_t = tick_t.at[:, :, :B].set(jnp.moveaxis(tick_bt, 0, 2))
 
-    s0 = e15.init_state(cfg, x0=x0)
-    x_l = jnp.zeros((16, Bp), f32).at[0:15, :B].set(s0.x[:, None])
-    p_l = jnp.zeros((225, Bp), f32).at[:, :B].set(
-        s0.P.reshape(225)[:, None])
+    x_l = jnp.zeros((16, Bp), f32).at[0:15, :B].set(x0[:, None])
+    p_l = jnp.zeros((225, Bp), f32).at[:, :B].set(P0.reshape(225)[:, None])
 
     call = pl.pallas_call(
-        _make_ekf15_kernel(
-            sensor_idx, sensor_noise, tuple(cfg.process_noise_diag),
-            tuple(cfg.control_gains), tuple(cfg.control_limits),
-            bool(cfg.use_control)),
+        _make_ekf15_kernel(sensor_idx, sensor_noise, q_diag, gains, limits,
+                           use_control),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
@@ -291,21 +272,45 @@ def run_fleet15(batched_timeline, cfg, x0=None):
         ],
     )
 
-    @jax.jit
-    def _run(x_l, p_l, tick_t):
-        def body(carry, t_in):
-            xc, pc = carry
-            xo, po = call(xc, pc, t_in)
-            diag = jnp.stack([po[i * 15 + i] for i in range(15)])
-            return (xo, po), (xo[0:15], diag)
+    def body(carry, t_in):
+        xc, pc = carry
+        xo, po = call(xc, pc, t_in)
+        diag = jnp.stack([po[i * 15 + i] for i in range(15)])
+        return (xo, po), (xo[0:15], diag)
 
-        (xf, pf), (x_t, pd_t) = jax.lax.scan(body, (x_l, p_l), tick_t)
-        return xf, pf, x_t, pd_t
-
-    xf, pfin, x_t, pd_t = _run(x_l, p_l, tick_t)
-    out = {
+    (xf, pfin), (x_t, pd_t) = jax.lax.scan(body, (x_l, p_l), tick_t)
+    return (xf[0:15, :B].T, pfin[:, :B].T.reshape(B, 15, 15)), {
         "x": jnp.moveaxis(x_t[:, :, :B], 1, 2),
         "p_diag": jnp.moveaxis(pd_t[:, :, :B], 1, 2),
     }
-    final = (xf[0:15, :B].T, pfin[:, :B].T.reshape(B, 15, 15))
-    return final, out
+
+
+def run_fleet15(batched_timeline, cfg, x0=None):
+    """Fleet replay of the 15-state EKF through the lanes kernel.
+
+    ``batched_timeline`` leaves are (B, T, ...) as from
+    ``fleet.batch_timelines`` of ``ekf_15state.ekf15_timeline`` outputs.
+    Returns (final (x (B,15), P (B,15,15)), out {"x": (T,B,15),
+    "p_diag": (T,B,15)}). Sensor wiring, process noise, and control shaping
+    are read from ``cfg`` exactly as the dense ``ekf_15state.run``; the
+    whole staging + scan is one jitted program."""
+    from ..models import ekf_15state as e15
+
+    tl = batched_timeline
+    sensors = [s for s in cfg.sensors if s.channel in tl.channels]
+    sensor_idx = tuple(
+        tuple(int(i) for i in np.where(np.asarray(s.mask))[0]) for s in sensors)
+    sensor_noise = tuple(
+        tuple(float(max(np.asarray(s.noise_diag)[i], 1e-9))
+              for i in np.where(np.asarray(s.mask))[0]) for s in sensors)
+    timeouts = tuple(float(s.timeout_s) for s in sensors)
+    channels = tuple(s.channel for s in sensors)
+    use_cmd = bool(cfg.use_control) and "cmd_vel" in tl.channels
+
+    s0 = e15.init_state(cfg, x0=x0)
+    return _run_fleet15_jit(
+        tl, s0.x, s0.P, sensor_idx, sensor_noise, timeouts, channels,
+        tuple(float(q) for q in cfg.process_noise_diag),
+        tuple(float(g) for g in cfg.control_gains),
+        tuple(float(l) for l in cfg.control_limits),
+        bool(cfg.use_control), use_cmd)
