@@ -70,3 +70,13 @@ def test_full_fleet_step_runs():
     )(batched)
     assert final.pf.particles.shape == (3, 6, 32)
     assert bool(jnp.isfinite(out["pf"]["mean"]).all())
+
+
+def test_dryrun_multichip_equivalence_in_suite():
+    """The driver's multi-chip dryrun body — mission x particle mesh, full
+    SLAM+PF fleet step with per-tick GPS resampling — asserts sharded ==
+    unsharded internally (psum weight normalization, distributed resample).
+    Run it inside the suite too so a regression is caught before the driver."""
+    import __graft_entry__ as g
+
+    g._dryrun_impl(8)
