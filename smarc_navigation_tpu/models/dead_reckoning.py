@@ -111,6 +111,72 @@ def dr_step(
     return new_state, out
 
 
+def run_sam_dr_vectorized(timeline: Timeline, cfg: DRConfig = DRConfig(),
+                          sam_cfg: SAMConfig = SAMConfig()) -> jnp.ndarray:
+    """Closed-form SAM DR replay — the scan recurrence is associative, so
+    the whole mission vectorizes into ~25 XLA ops and two cumsums:
+
+    * yaw_t = wrap(cumsum of gyro_z * dt between fresh IMU stamps) — wrap
+      commutes with the sum modulo 2*pi, and only cos/sin (2*pi-invariant)
+      and the wrapped output consume it;
+    * roll/pitch/velocities/depth are queue-latest channel values;
+    * pos_xy = cumsum of R(rpy_t) (v_t * dr_period).
+
+    Identical results to ``run_sam_dr`` (pinned by test) at mission-length
+    instead of per-tick cost; accepts a batched (B, T, ...) timeline too.
+    """
+    imu = timeline.channels["imu"]
+    dvl = timeline.channels["dvl"]
+    depth = timeline.channels["depth"]
+    ctl = timeline.channels["control"]
+
+    # attitude: absolute roll/pitch; yaw integrated over fresh-IMU intervals
+    quat = imu.value[..., 0:4]
+    abs_rpy = jnp.vectorize(rpy_from_quat, signature="(q)->(e)")(quat)
+    # previous tick's queue-latest stamp == stamp of the last fresh IMU
+    # before this tick; -inf (no message yet) clamps to the scan's t0=0
+    prev_stamp = jnp.maximum(
+        jnp.concatenate(
+            [jnp.zeros_like(imu.stamp[..., :1]), imu.stamp[..., :-1]],
+            axis=-1),
+        0.0)
+    dyaw = jnp.where(
+        imu.fresh,
+        imu.value[..., 6] * jnp.maximum(imu.stamp - prev_stamp, 0.0), 0.0)
+    yaw = jnp.cumsum(dyaw, axis=-1)
+    seen_imu = jnp.cumsum(imu.fresh, axis=-1) > 0
+    rpy = jnp.stack(
+        [jnp.where(seen_imu, abs_rpy[..., 0], 0.0),
+         jnp.where(seen_imu, abs_rpy[..., 1], 0.0),
+         jnp.where(seen_imu, yaw, 0.0)], axis=-1)
+
+    # velocity: DVL gated by staleness + sanity, motion-model fallback
+    v = dvl.value
+    dvl_ok = (
+        (dvl.age < cfg.dvl_period)
+        & (jnp.abs(v[..., 1]) < cfg.dvl_vy_max)
+        & (v[..., 0] < cfg.dvl_vx_max)
+        & (v[..., 0] > cfg.dvl_vx_min)
+    )
+    d_angle = jnp.clip(-ctl.value[..., 1], -cfg.thrust_vec_max_rad,
+                       cfg.thrust_vec_max_rad)
+    mm_vel = motion_model.dr_fallback_velocity(
+        jnp.stack([ctl.value[..., 0], d_angle], axis=-1), cfg.dr_period,
+        sam_cfg)
+    lin_vel = jnp.where(dvl_ok[..., None], v, mm_vel)
+    lin_vel = jnp.where(dvl.valid[..., None], lin_vel, 0.0)
+
+    # position: cumsum of odom-frame steps; depth substituted directly
+    R = jnp.vectorize(rotmat_from_rpy, signature="(e)->(i,j)")(rpy)
+    step = jnp.einsum("...ij,...j->...i", R, lin_vel * cfg.dr_period)
+    pos_xy = jnp.cumsum(step[..., 0:2], axis=-2)
+    pos_z = jnp.where(depth.valid, depth.value[..., 0], 0.0)
+
+    rpy_out = rpy.at[..., 2].set(wrap_angle(rpy[..., 2]))
+    return jnp.concatenate(
+        [pos_xy, pos_z[..., None], rpy_out, lin_vel], axis=-1)
+
+
 def run_sam_dr(timeline: Timeline, cfg: DRConfig = DRConfig(),
                sam_cfg: SAMConfig = SAMConfig()) -> jnp.ndarray:
     """Replay a whole mission: -> (T, 9) [pose6, body_vel3] per tick."""

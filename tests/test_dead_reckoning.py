@@ -105,3 +105,23 @@ def test_runs_are_deterministic():
     a = np.asarray(dr.run_sam_dr(tl))
     b = np.asarray(dr.run_sam_dr(tl))
     np.testing.assert_array_equal(a, b)
+
+
+def test_vectorized_sam_dr_matches_scan():
+    """The closed-form (cumsum) replay must reproduce the scanned recurrence
+    exactly (the recurrence is associative; wrap commutes mod 2*pi)."""
+    from smarc_navigation_tpu.models import dead_reckoning as dr
+
+    m = sim.simulate(sim.MissionSpec(duration_s=12.0, seed=9))
+    tl = dr.sam_timeline(m)
+    out_scan = np.asarray(dr.run_sam_dr(tl))
+    out_vec = np.asarray(dr.run_sam_dr_vectorized(tl))
+    np.testing.assert_allclose(out_vec, out_scan, atol=5e-4)
+
+    # dropout mission (DVL gaps exercise the gating + fallback)
+    m2 = sim.simulate(sim.MissionSpec(duration_s=12.0, seed=10,
+                                      dvl_dropout=(4.0, 7.0)))
+    tl2 = dr.sam_timeline(m2)
+    np.testing.assert_allclose(
+        np.asarray(dr.run_sam_dr_vectorized(tl2)),
+        np.asarray(dr.run_sam_dr(tl2)), atol=5e-4)
