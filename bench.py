@@ -248,6 +248,39 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- closed-form SAM dead-reckoning fleet --------------------------------
+    from smarc_navigation_tpu.models import dead_reckoning as dr_mod
+
+    # a single replay is below timing resolution (~0.3 us per 256-mission
+    # tick) — chain 32 data-dependent replays so the slope is measurable
+    REPS_DR = 32
+
+    @jax.jit
+    def fndr(t):
+        def body(acc, _):
+            t2 = jax.tree_util.tree_map(
+                lambda x: x + acc.astype(x.dtype) * 1e-30
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            return acc + jnp.sum(dr_mod.run_sam_dr_vectorized(t2)), None
+        acc, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, jnp.float32), None, length=REPS_DR)
+        return acc
+
+    rdr = {}
+    Tdr = {}
+    for dur, key in ((15.0, "s"), (240.0, "b")):
+        mdr = sim.simulate(sim.MissionSpec(duration_s=dur, seed=9))
+        btdr = fleet.batch_timelines([dr_mod.sam_timeline(mdr)] * 256)
+        Tdr[key] = int(btdr.ticks.shape[1])
+        rdr[key] = timed(fndr, btdr)
+    perdr = max(rdr["b"] - rdr["s"], 1e-9) / (Tdr["b"] - Tdr["s"]) / REPS_DR
+    dr_ticks = 256 / perdr
+    print(
+        f"# sam-dr fleet (closed form): 256 missions, {perdr*1e6:.3f} "
+        f"us/fleet-tick -> {dr_ticks:,.3g} ticks/s",
+        file=sys.stderr,
+    )
+
     # ---- closed-loop Monte-Carlo raycast fleet (BASELINE config: 1024) -------
     from smarc_navigation_tpu.ops import raycast
     from smarc_navigation_tpu.parallel.fleet import run_raycast_fleet
@@ -297,6 +330,7 @@ def main():
                     "raycast_fleet_closed_loop_steps_per_sec_1024": round(rc_steps, 1),
                     "ekf_localization_steps_per_sec_fleet64": round(loc_steps, 1),
                     "ekf15_steps_per_sec_fleet64": round(e15_steps, 1),
+                    "sam_dr_ticks_per_sec_fleet256": round(dr_ticks, 1),
                 },
             }
         )
