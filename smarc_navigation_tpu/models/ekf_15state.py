@@ -376,3 +376,11 @@ def ekf15_timeline(mission, cfg: Ekf15Config, include_gps: bool = False) -> Time
     return build_timeline(
         t0=0.0, t1=mission.spec.duration_s, freq_hz=cfg.frequency, channels=channels
     )
+
+
+def run_fleet(batched_timeline, cfg: Ekf15Config = Ekf15Config(), x0=None):
+    """Fleet replay through the missions-in-lanes Pallas kernel
+    (``ops.ekf15_kernels.run_fleet15``); see there for the layout."""
+    from ..ops import ekf15_kernels
+
+    return ekf15_kernels.run_fleet15(batched_timeline, cfg, x0=x0)
