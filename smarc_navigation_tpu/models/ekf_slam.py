@@ -755,12 +755,10 @@ def run_fleet(
     DA pass around the solver lets the fleet batch it. Semantics are
     identical to ``jax.vmap(run)``: the staging and commit halves are the
     same functions, and the lanes JV computes the same optimum (pinned by
-    tests against scipy and the dense path). MBES-only timelines (the
-    Monte-Carlo fleet configuration); FLS passes would take a second
-    stage/commit pair per tick."""
-    if "fls" in batched_timeline.events:
-        raise NotImplementedError("run_fleet handles MBES timelines; use "
-                                  "jax.vmap(run) for FLS missions")
+    tests against scipy and the dense path). MBES passes run through the
+    whole-DA lanes kernel; FLS passes run the staged path (vmapped
+    stage/commit around the lanes JV)."""
+    from ..ops import slam_da_kernels
 
     tl_t = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, 0, 1), batched_timeline)
@@ -769,6 +767,16 @@ def run_fleet(
     s0 = init_state(cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+
+    def staged_pass(st, z_b, mask_b, sensor):
+        cost, staged = jax.vmap(
+            lambda s, zv, zm: da_stage(s, zv, zm, params, cfg, sensor)
+        )(st, z_b, mask_b)
+        ctr = slam_da_kernels.hungarian_lanes(cost)
+        return jax.vmap(
+            lambda s, c, sg, zv, zm: da_commit(
+                s, c, sg, zv, zm, params, cfg, sensor, update_mode)
+        )(st, ctr, staged, z_b, mask_b)
 
     def body(state_b, tick_b):
         odom = tick_b.channels["odom"]
@@ -780,27 +788,32 @@ def run_fleet(
                 axis=1)
         else:
             odom_pose = odom.value[:, 0:6]
-        pred = jax.vmap(lambda s, o: predict(s, o, params))(state_b, odom_pose)
+        st = jax.vmap(lambda s, o: predict(s, o, params))(state_b, odom_pose)
 
-        ev = tick_b.events["mbes"]
-
-        def do_pass(st):
-            return da_lanes_pass(st, ev.value, ev.mask, params, cfg)
-
-        def skip(st):
-            return st, jnp.full(ev.mask.shape, -1, jnp.int32)
-
-        st, matched = jax.lax.cond(jnp.any(ev.mask), do_pass, skip, pred)
+        out = {}
+        if "mbes" in tick_b.events:
+            ev = tick_b.events["mbes"]
+            st, matched = jax.lax.cond(
+                jnp.any(ev.mask),
+                lambda s: da_lanes_pass(s, ev.value, ev.mask, params, cfg),
+                lambda s: (s, jnp.full(ev.mask.shape, -1, jnp.int32)),
+                st)
+            out["matched_mbes"] = matched
+        if "fls" in tick_b.events:
+            evf = tick_b.events["fls"]
+            st, matched_f = jax.lax.cond(
+                jnp.any(evf.mask),
+                lambda s: staged_pass(s, evf.value, evf.mask, FLS),
+                lambda s: (s, jnp.full(evf.mask.shape, -1, jnp.int32)),
+                st)
+            out["matched_fls"] = matched_f
 
         st = jax.tree_util.tree_map(
             lambda new, old: jnp.where(
                 odom.valid.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
             st, state_b)
-        out = {
-            "mu": st.mu[:, 0:6],
-            "n_active": st.n_active,
-            "matched_mbes": matched,
-        }
+        out["mu"] = st.mu[:, 0:6]
+        out["n_active"] = st.n_active
         return st, out
 
     final, out = jax.lax.scan(body, s0_b, tl_t)

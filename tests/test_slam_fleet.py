@@ -119,3 +119,43 @@ def test_raycast_fleet_kernel_matches_dense():
                                             use_da_kernel=False)
     np.testing.assert_allclose(np.asarray(mu_k), np.asarray(mu_d), atol=1e-2)
     np.testing.assert_array_equal(np.asarray(na_k), np.asarray(na_d))
+
+
+def test_run_fleet_fls_pass_matches_vmapped_run():
+    """FLS fleets run the staged path (vmapped stage/commit around the lanes
+    JV); results must match the per-mission dense path."""
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=8, max_obs=4,
+        q_fls_diag=(4.0, 4.0), r_diag=(1e-3,) * 6)
+    params = slam.make_params(cfg)
+    true_lms = np.array([[8.0, 2.0, -1.0], [12.0, -3.0, -1.0]])
+    T = 30
+    ticks = (np.arange(T) + 1) / cfg.system_freq
+    poses = np.zeros((T, 6), np.float32)
+    poses[:, 0] = 0.2 * np.arange(T)
+    poses[:, 2] = -1.0
+    det_stamps, det_vals, det_burst = [], [], []
+    for k, t in enumerate(ticks):
+        for lm in true_lms:
+            z_px = np.asarray(slam.h_fls(jnp.asarray(poses[k]),
+                                         jnp.asarray(lm, jnp.float32), params))
+            if z_px[0] > 0:
+                det_stamps.append(t)
+                det_vals.append([z_px[0], z_px[1], 0.0])
+                det_burst.append(k)
+    tl = build_timeline(
+        0.0, T / cfg.system_freq, cfg.system_freq,
+        channels={"odom": (ticks, poses)},
+        events={"fls": (np.asarray(det_stamps), np.asarray(det_vals),
+                        np.asarray(det_burst), cfg.max_obs)},
+    )
+    batched = fleet.batch_timelines([tl, tl])
+    final_f, out_f = slam.run_fleet(batched, params, cfg, update_mode="full")
+    final_d, out_d = slam.run(tl, params, cfg, update_mode="full")
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out_f["mu"][:, b]), np.asarray(out_d["mu"]), atol=1e-2)
+        assert int(final_f.n_active[b]) == int(final_d.n_active)
+        mf = np.asarray(out_f["matched_fls"][:, b])
+        md = np.asarray(out_d["matched_fls"])
+        assert (mf == md).mean() == 1.0
