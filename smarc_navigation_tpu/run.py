@@ -40,7 +40,8 @@ def _demo(args):
     # dead-reckoning chain
     tl_dr = dr.sam_timeline(m)
     t0 = time.perf_counter()
-    track_dr = np.asarray(jax.jit(dr.run_sam_dr)(tl_dr))
+    # closed-form replay (identical to the scan, compiles in seconds)
+    track_dr = np.asarray(jax.jit(dr.run_sam_dr_vectorized)(tl_dr))
     dt_dr = time.perf_counter() - t0
 
     # SLAM chain on odometry from the LoLo provider
