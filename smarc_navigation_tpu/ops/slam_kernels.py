@@ -43,13 +43,24 @@ def _update_kernel(
     hsel_ref,    # (M*_PAD_DIM, _PAD9) VMEM
     gsel_ref,    # (M*_PAD_DIM, _PAD9) VMEM: (S⁻¹H)_j
     sqcov_ref,   # (_PAD9, 128) VMEM: col 0 rows 6..8 = sqrt(new_lm_cov)
-    sigma_ref,   # (D, D) VMEM out — the working buffer
+    sigma_ref,   # (D, D) VMEM out — Σ0 + activations during the loop
     mu_ref,      # (8, D) VMEM out
+    ubuf,        # (M*_PAD_DIM, D) VMEM scratch: K_jᵀ rows
+    vbuf,        # (M*_PAD_DIM, D) VMEM scratch: (HΣ)_j rows
 ):
+    """Low-rank form of the sequential update: the per-measurement rank-dim
+    Σ downdates are carried as U/V factors (one (16,D) correction per gain
+    computation) and applied as ONE rank-(M·dim) downdate at the end — the
+    eight full (D,D) VPU passes were the measured wall of the SLAM fleet
+    tick (docs/ROOFLINE.md). Additions commute, so the result is
+    algebraically identical to the in-place sequence (the dense
+    ``upd_lowrank`` path proves the same algebra in XLA)."""
     D = sigma_in.shape[1]
     M = lmix_ref.shape[0]
     sigma_ref[:, :] = sigma_in[:, :]
     mu_ref[:, :] = mu_in[:, :]
+    ubuf[:, :] = jnp.zeros_like(ubuf)
+    vbuf[:, :] = jnp.zeros_like(vbuf)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 0)
@@ -67,7 +78,8 @@ def _update_kernel(
         sel = jnp.where(row < 6, row, lm_ix + (row - 6))
         E = jnp.where((col == sel) & (row < 9), 1.0, 0.0)       # (16,D)
 
-        # activation: Σ += (√cov·E_lm)ᵀ(√cov·E_lm) (inactive rows are zero)
+        # activation: Σ += (√cov·E_lm)ᵀ(√cov·E_lm) (inactive rows are zero;
+        # rare after the early mission — stays an in-place add)
         @pl.when(add)
         def _():
             E_s = jnp.where((row >= 6) & (row < 9), E, 0.0) * sqcov
@@ -77,7 +89,13 @@ def _update_kernel(
 
         @pl.when(do)
         def _():
+            # rows of the CURRENT Σ = (Σ0+acts) rows − accumulated U/V
             rows9 = jnp.dot(E, sigma_ref[:, :], preferred_element_type=jnp.float32)
+            A = jax.lax.dot_general(
+                E, ubuf[:, :], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (16, M*8)
+            rows9 = rows9 - jnp.dot(A, vbuf[:, :],
+                                    preferred_element_type=jnp.float32)
             Hj = hsel_ref[pl.ds(j * _PAD_DIM, _PAD_DIM), :]     # (8,16)
             Gj = gsel_ref[pl.ds(j * _PAD_DIM, _PAD_DIM), :]     # (8,16)
             Kt = jnp.dot(Gj, rows9, preferred_element_type=jnp.float32)  # (8,D)
@@ -93,12 +111,16 @@ def _update_kernel(
             wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
             mu_ref[:, :] = jnp.where(angle_mask, wrapped, mu_new)
 
-            sigma_ref[:, :] -= jnp.dot(Kt.T, Vt, preferred_element_type=jnp.float32)
+            ubuf[pl.ds(j * _PAD_DIM, _PAD_DIM), :] = Kt
+            vbuf[pl.ds(j * _PAD_DIM, _PAD_DIM), :] = Vt
 
         return 0
 
     jax.lax.fori_loop(0, M, body, 0)
-    # single final symmetrize (matches the dense jax path)
+    # one rank-(M*dim) downdate, then the single final symmetrize
+    sigma_ref[:, :] -= jax.lax.dot_general(
+        ubuf[:, :], vbuf[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     s = sigma_ref[:, :]
     sigma_ref[:, :] = 0.5 * (s + s.T)
 
@@ -141,6 +163,10 @@ def sequential_update(
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((M * _PAD_DIM, D), f32),
+                pltpu.VMEM((M * _PAD_DIM, D), f32),
             ],
         ),
         out_shape=[
