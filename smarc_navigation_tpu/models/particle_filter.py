@@ -396,8 +396,8 @@ def _segment_plan(upd: np.ndarray, k_max: int):
 
 @functools.partial(jax.jit, static_argnames=("nxy", "nyaw_on"))
 def _run_segments(timeline, params, key, s0_particles,
-                  idx_j, valid_j, upd_seg_j, upd_tick_j, flat_slot_j,
-                  nxy, nyaw_on):
+                  idx_j, valid_j, upd_seg_j, upd_tick_j, upd_slot_j,
+                  flat_slot_j, nxy, nyaw_on):
     """Jitted segment scan for ``run_fast_segmented`` (module-level so the
     jit cache persists across calls)."""
     from ..ops import pf_kernels
@@ -418,21 +418,23 @@ def _run_segments(timeline, params, key, s0_particles,
     seg_kn = noise_keys[upd_tick_j]
 
     def body(parts, xs):
-        p16, sds, upd, gxy, kr, kn = xs
+        p16, sds, upd, gxy, kr, kn, uslot = xs
         parts, sums = pf_kernels.predict_call_multi(
             parts, p16, sds, nxy=nxy, nyaw=nyaw_on)
-        parts = jax.lax.cond(
-            upd,
-            lambda a: _update_resample_fast(a, gxy, kr, kn,
-                                            params)[0],
-            lambda a: a,
-            parts,
-        )
+
+        def do_upd(args):
+            # post-resample moments on the update tick, matching run_fast /
+            # the dense scan (ADVICE r02: one set of public semantics)
+            p, s = args
+            p2, s2 = _update_resample_fast(p, gxy, kr, kn, params)
+            return p2, s.at[uslot].set(s2)
+
+        parts, sums = jax.lax.cond(upd, do_upd, lambda a: a, (parts, sums))
         return parts, sums
 
     final_parts, sums_sk = jax.lax.scan(
         body, s0_particles,
-        (seg_par, seg_seeds, upd_seg_j, seg_gps, seg_kr, seg_kn),
+        (seg_par, seg_seeds, upd_seg_j, seg_gps, seg_kr, seg_kn, upd_slot_j),
     )
     sums_t = sums_sk.reshape(S * K, pf_kernels.N_SUMS, 128)[flat_slot_j]
     mean, cov = pf_kernels.finalize_moments(
@@ -454,8 +456,7 @@ def run_fast_segmented(
     held in VMEM — HBM traffic and dispatch overhead amortize over the run.
 
     Requires a concrete (non-traced) timeline; semantics match ``run_fast``
-    except that update-tick moments are reported pre-resample (resampling is
-    unbiased, so only the sample noise of that one tick's report differs)."""
+    (update-tick moments are reported post-resample)."""
     from ..ops import pf_kernels
 
     n = cfg.particle_count if n_particles is None else n_particles
@@ -476,12 +477,14 @@ def run_fast_segmented(
     valid = np.zeros((S, K), bool)
     upd_seg = np.zeros((S,), bool)
     upd_tick = np.zeros((S,), np.int32)
+    upd_slot = np.zeros((S,), np.int32)
     for s, (start, length, has_upd) in enumerate(segs):
         idx[s, :length] = np.arange(start, start + length)
         idx[s, length:] = start + length - 1
         valid[s, :length] = True
         upd_seg[s] = has_upd
         upd_tick[s] = start + length - 1
+        upd_slot[s] = length - 1
     # tick -> (segment, slot) for the post-scan moment gather
     flat_slot = np.zeros((T,), np.int32)
     for s, (start, length, _h) in enumerate(segs):
@@ -491,6 +494,7 @@ def run_fast_segmented(
     valid_j = jnp.asarray(valid)
     upd_seg_j = jnp.asarray(upd_seg)
     upd_tick_j = jnp.asarray(upd_tick)
+    upd_slot_j = jnp.asarray(upd_slot)
     flat_slot_j = jnp.asarray(flat_slot)
 
     # trace-time noise-row flags: std-0 rows compile out of the kernel
@@ -505,7 +509,7 @@ def run_fast_segmented(
     s0 = init_state(n, params, key)
     final_parts, mean, cov, t_prev, key = _run_segments(
         timeline, params, key, s0.particles,
-        idx_j, valid_j, upd_seg_j, upd_tick_j, flat_slot_j,
+        idx_j, valid_j, upd_seg_j, upd_tick_j, upd_slot_j, flat_slot_j,
         nxy=nxy, nyaw_on=nyaw_on)
     out = {"mean": mean, "cov": cov, "updated": jnp.asarray(upd_host)}
     final = PFState(particles=final_parts, key=key, t_prev=t_prev)
@@ -567,11 +571,24 @@ def run(
     key=None,
     scheme: str = "residual",
     use_pallas: bool = False,
+    segmented: bool | None = None,
 ):
+    """Full-mission PF replay. ``use_pallas=True`` with scheme="systematic"
+    takes the TPU fast paths; ``segmented`` picks between them explicitly
+    (True = host-segmented multi-tick kernel, needs a concrete timeline;
+    False = per-tick fused kernel scan; None = segmented when the timeline
+    is concrete). Both fast paths report post-resample moments on update
+    ticks, matching the dense scan."""
     if use_pallas and scheme == "systematic":
-        if not isinstance(timeline.ticks, jax.core.Tracer):
-            # concrete timeline: host-side GPS segmentation enables the
-            # multi-tick kernel (HBM traffic + dispatch amortize per run)
+        concrete = not isinstance(timeline.ticks, jax.core.Tracer)
+        if segmented is None:
+            segmented = concrete
+        if segmented:
+            if not concrete:
+                raise ValueError(
+                    "segmented=True needs a concrete (non-traced) timeline")
+            # host-side GPS segmentation enables the multi-tick kernel
+            # (HBM traffic + dispatch amortize per run)
             return run_fast_segmented(timeline, params, cfg, n_particles, key)
         return run_fast(timeline, params, cfg, n_particles, key)
 

@@ -298,11 +298,13 @@ def _kernel(params_ref, seed_ref, parts_ref, out_ref, sums_ref):
     cr, sr = jnp.cos(roll), jnp.sin(roll)    # scalars: libm is fine
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     sy, cy = _sincos(yaw_n)
-    step_x = (cy * cp) * vdt_x + (cy * sp * sr - sy * cr) * vdt_y + (cy * sp * cr + sy * sr) * vdt_z
-    step_y = (sy * cp) * vdt_x + (sy * sp * sr + cy * cr) * vdt_y + (sy * sp * cr - cy * sr) * vdt_z
-
-    x_n = x + step_x + nx
-    y_n = y + step_y + ny
+    # accumulation order matches _make_kernel_multi exactly so the per-tick
+    # and multi-tick paths stay BITWISE identical (an ULP difference here
+    # can flip a resample ancestor at a stratum boundary)
+    x_n = x + (cy * cp) * vdt_x + (cy * sp * sr - sy * cr) * vdt_y \
+        + (cy * sp * cr + sy * sr) * vdt_z + nx
+    y_n = y + (sy * cp) * vdt_x + (sy * sp * sr + cy * cr) * vdt_y \
+        + (sy * sp * cr - cy * sr) * vdt_z + ny
 
     # before any odometry has arrived (subst=0) z/roll/pitch keep their init
     # distribution instead of collapsing to a stale channel fill value

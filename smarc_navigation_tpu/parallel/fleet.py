@@ -116,6 +116,44 @@ def batch_timelines(timelines: list) -> Timeline:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *timelines)
 
 
+_slam_fleet_jit_cache: dict = {}
+
+
+def _slam_fleet_jit(cfg: EKFSlamConfig):
+    fn = _slam_fleet_jit_cache.get(cfg)
+    if fn is None:
+        fn = jax.jit(lambda t, p: slam.run_fleet(t, p, cfg))
+        _slam_fleet_jit_cache[cfg] = fn
+    return fn
+
+
+def run_combined(
+    tl_slam: Timeline,            # batched (B=1) SLAM timeline
+    tl_pf: Timeline,              # single-mission PF timeline (concrete)
+    slam_params: slam.SlamParams,
+    slam_cfg: EKFSlamConfig,
+    pf_params: pf.PFParams,
+    pf_cfg: PFConfig,
+    n_particles: int,
+    key=None,
+):
+    """The BASELINE.json north-star workload: ONE full mission replayed
+    through BOTH estimators on their production fast paths — the MCL bank
+    through the host-segmented multi-tick Pallas kernel
+    (``particle_filter.run`` with ``use_pallas=True``) and the EKF-SLAM
+    filter through the in-lanes DA-kernel fleet path
+    (``ekf_slam.run_fleet``). Returns one scalar forcing both outputs, for
+    slope timing (bench.py section 3)."""
+    final_pf, out_pf = pf.run(
+        tl_pf, pf_params, pf_cfg, n_particles=n_particles, key=key,
+        scheme="systematic", use_pallas=True,
+    )
+    final_s, _out_s = _slam_fleet_jit(slam_cfg)(tl_slam, slam_params)
+    return (jnp.sum(out_pf["mean"])
+            + jnp.sum(final_s.mu[:, 0:6])
+            + jnp.sum(final_s.n_active))
+
+
 def run_raycast_fleet(
     gt_tracks: jnp.ndarray,      # (B, T, 6) per-mission vehicle trajectories
     landmark_sets: jnp.ndarray,  # (B, L, 3) per-mission true rock fields
