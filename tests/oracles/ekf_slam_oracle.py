@@ -1,12 +1,13 @@
-"""NumPy float64 oracle of the EKF-SLAM tick (MBES path).
+"""NumPy float64 oracle of the EKF-SLAM tick (MBES and FLS paths).
 
 Independent transcription of the REFERENCE C++ core — derived from
 ``/root/reference/auv_ekf_slam/src/ekf_slam_core.cpp``,
-``src/correspondence_obj_mbes.cpp`` and ``utils/ekf_utils.cpp`` directly
-(NOT from the JAX module), so a shared misreading between implementation
-and oracle cannot hide. Per-method citations below. Analytic Jacobians are
-transcribed term-by-term from the C++ expressions (no numeric
-differentiation, no jax).
+``src/correspondence_obj_mbes.cpp``, ``src/correspondence_obj_fls.cpp``
+and ``utils/ekf_utils.cpp`` directly (NOT from the JAX module), so a
+shared misreading between implementation and oracle cannot hide.
+Per-method citations below. Analytic Jacobians are transcribed
+term-by-term from the C++ expressions (no numeric differentiation, no
+jax).
 
 The padded-state adaptations (fixed landmark bank, z_mask for empty
 detection slots) replace the reference's conservativeResize growth; the
@@ -131,8 +132,31 @@ def mbes_H(pose, lm):
     return H
 
 
+_FLS_SCALE = 400.0 / 17.0   # px per metre (correspondence_obj_fls.cpp:27)
+
+
+def fls_h2(v):
+    """h₂ (2×3 pixel projection Jacobian, ``correspondence_obj_fls.cpp:
+    78-85``) evaluated at the expected measurement v in FLS-frame metres:
+    row 0 = scaling·(x,0,z)/‖(x,0,z)‖, row 1 = −scaling·e_y."""
+    zp = np.array([v[0], 0.0, v[2]])
+    h2 = np.zeros((2, 3))
+    h2[0] = zp / np.linalg.norm(zp)
+    h2[1, 1] = -1.0
+    return _FLS_SCALE * h2
+
+
+def fls_H(pose, lm, r_fls_base, v):
+    """2×9 FLS measurement Jacobian H = h₂·(R_fls_base·h₁)
+    (``correspondence_obj_fls.cpp:61-135``). The 3×9 h₁ there is
+    term-identical to the MBES Jacobian (compare :87-131 against
+    ``correspondence_obj_mbes.cpp:47-108``), so it is shared."""
+    return fls_h2(v) @ (r_fls_base @ mbes_H(pose, lm))
+
+
 class OracleSLAM:
-    def __init__(self, cfg, update_mode="full"):
+    def __init__(self, cfg, update_mode="full", sensor="mbes",
+                 r_base_fls=None, t_base_fls=None):
         self.cfg = cfg
         self.L = cfg.max_landmarks
         D = 6 + 3 * self.L
@@ -143,20 +167,61 @@ class OracleSLAM:
         self.n_active = 0
         self.mu_auv_odom = np.zeros(3)
         self.R = np.diag(cfg.r_diag)         # ekf_slam.cpp:74-97 diagonals
-        self.Q = np.diag(cfg.q_mbes_diag)
-        # lambda_M = chi2(3) quantile at delta (ekf_slam.cpp:100-103)
-        self.lam = chi2.ppf(cfg.delta_outlier_reject, 3)
+        self.sensor = sensor
+        # FLS extrinsic: tf_base_sensor_ (base <- fls, ekf_slam_core.cpp:32)
+        # and its inverse tf_sensor_base_ (:33) whose rotation is h_comps.
+        # R_fls_base_ (:203)
+        self.r_bs = np.eye(3) if r_base_fls is None else np.asarray(r_base_fls)
+        self.t_bs = np.zeros(3) if t_base_fls is None else np.asarray(t_base_fls)
+        self.r_sb = self.r_bs.T
+        self.t_sb = -self.r_sb @ self.t_bs
+        if sensor == "mbes":
+            self.dim = 3
+            self.Q = np.diag(cfg.q_mbes_diag)
+            self.new_lm_cov = np.asarray(cfg.new_lm_cov_mbes)
+            self.mh_dist = cfg.mhl_dist_mbes
+        else:
+            self.dim = 2
+            self.Q = np.diag(cfg.q_fls_diag)
+            self.new_lm_cov = np.asarray(cfg.new_lm_cov_fls)
+            self.mh_dist = cfg.mhl_dist_fls
+        # lambda_M = chi2(dim) quantile at delta (ekf_slam.cpp:100-103)
+        self.lam = chi2.ppf(cfg.delta_outlier_reject, self.dim)
         self.update_mode = update_mode
 
+    def h_fls_m(self, pose, lm):
+        """Expected measurement in FLS-frame metres: T_sensor_map·lm with
+        tf_sensor_map = tf_sensor_base·tf_base_map (ekf_slam_core.cpp:
+        153-156)."""
+        return self.r_sb @ (rotmat(pose[3:6]).T @ (lm - pose[0:3])) + self.t_sb
+
     def h(self, pose, lm):
-        """measModel (correspondence_obj_mbes.cpp:26-35): z_hat =
-        T_base_map · lm = R(rpy)ᵀ (lm − p)."""
-        return rotmat(pose[3:6]).T @ (lm - pose[0:3])
+        """measModel. MBES (correspondence_obj_mbes.cpp:26-35): z_hat =
+        T_base_map·lm. FLS (correspondence_obj_fls.cpp:25-41): pixel pair
+        (scaling·‖(x,z)‖, −scaling·y) of the FLS-frame point."""
+        if self.sensor == "mbes":
+            return rotmat(pose[3:6]).T @ (lm - pose[0:3])
+        v = self.h_fls_m(pose, lm)
+        return np.array([_FLS_SCALE * np.hypot(v[0], v[2]), -_FLS_SCALE * v[1]])
+
+    def H(self, pose, lm):
+        if self.sensor == "mbes":
+            return mbes_H(pose, lm)
+        return fls_H(pose, lm, self.r_sb, self.h_fls_m(pose, lm))
 
     def backproject(self, pose, z):
-        """backProjectNewLM (correspondence_obj_mbes.cpp:39-44):
-        T_map_base · z."""
-        return rotmat(pose[3:6]) @ z + pose[0:3]
+        """backProjectNewLM. MBES (correspondence_obj_mbes.cpp:39-44):
+        T_map_base·z. FLS (correspondence_obj_fls.cpp:44-58): pixels →
+        polar → metres in the FLS plane → T_map_sensor·p with
+        tf_map_sensor = tf_map_base·tf_base_sensor (:240)."""
+        if self.sensor == "mbes":
+            return rotmat(pose[3:6]) @ z + pose[0:3]
+        x, y = z[0], -z[1]
+        theta = np.arctan2(y, x)
+        rho = (17.0 / 400.0) * np.hypot(x, y)
+        p_fls = np.array([rho * np.cos(theta), rho * np.sin(theta), 0.0])
+        p_base = self.r_bs @ p_fls + self.t_bs
+        return rotmat(pose[3:6]) @ p_base + pose[0:3]
 
     def predict(self, odom_pose):
         """predictMotion (ekf_slam_core.cpp:41-120): position increment
@@ -202,7 +267,7 @@ class OracleSLAM:
         for j in range(L):
             lm = self.mu[6 + 3 * j : 9 + 3 * j]
             zh = self.h(pose, lm)
-            H = mbes_H(pose, lm)
+            H = self.H(pose, lm)
             idx = self._idx9(j)
             Sig9 = self.Sigma[np.ix_(idx, idx)]
             S = H @ Sig9 @ H.T + self.Q        # computeMHLDistance :110-116
@@ -224,15 +289,15 @@ class OracleSLAM:
         for i in range(M):
             c = self.backproject(pose, z_t[i])
             cands.append(c)
-            H = mbes_H(pose, c)
+            H = self.H(pose, c)
             Sig9 = np.zeros((9, 9))
             Sig9[0:6, 0:6] = self.Sigma[0:6, 0:6]
-            Sig9[6:9, 6:9] = np.diag(cfg.new_lm_cov_mbes)  # (100,100,100) :227
+            Sig9[6:9, 6:9] = np.diag(self.new_lm_cov)  # :222-240 per sensor
             S = H @ Sig9 @ H.T + self.Q
             H_c.append(H)
             Sinv_c.append(np.linalg.inv(S))
             nu_c.append(z_t[i] - self.h(pose, c))
-            cost[L + i, i] = cfg.mhl_dist_mbes
+            cost[L + i, i] = self.mh_dist
         rows, cols = linear_sum_assignment(cost)
         col_to_row = np.full(M, -1)
         col_to_row[cols] = rows
@@ -253,7 +318,7 @@ class OracleSLAM:
                 self.mu[ix : ix + 3] = cands[i]
                 self.Sigma[ix : ix + 3, :] = 0.0
                 self.Sigma[:, ix : ix + 3] = 0.0
-                self.Sigma[ix : ix + 3, ix : ix + 3] = np.diag(cfg.new_lm_cov_mbes)
+                self.Sigma[ix : ix + 3, ix : ix + 3] = np.diag(self.new_lm_cov)
                 self.active[slot] = True
                 self.n_active += 1
                 H, Sinv, nu = H_c[i], Sinv_c[i], nu_c[i]
@@ -301,8 +366,10 @@ class OracleSLAM:
         return self.mu[0:6].copy(), matched
 
 
-def run_oracle(cfg, timeline_np, update_mode="full"):
-    o = OracleSLAM(cfg, update_mode)
+def run_oracle(cfg, timeline_np, update_mode="full", sensor="mbes",
+               r_base_fls=None, t_base_fls=None):
+    o = OracleSLAM(cfg, update_mode, sensor=sensor,
+                   r_base_fls=r_base_fls, t_base_fls=t_base_fls)
     T = len(timeline_np["ticks"])
     mus = np.zeros((T, 6))
     matched = []

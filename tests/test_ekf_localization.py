@@ -83,8 +83,12 @@ def test_golden_track_vs_numpy_oracle():
 
     mus_o, matches_o = oracle.run_oracle(cfg, params.map_pos, _timeline_np(tl))
 
+    # BASELINE.md:34: identical association decisions — EXACT agreement,
+    # same bar as SLAM (test_slam_golden). Verified across seeds
+    # {0,1,2,5,7,11} in round 3; any future disagreement is a regression
+    # to diagnose, not tolerance to re-add.
     agree = (matches_jax == matches_o).mean()
-    assert agree > 0.999, f"association agreement {agree}"
+    assert agree == 1.0, f"association agreement {agree}"
     err = np.linalg.norm(mu_jax[:, :3] - mus_o[:, :3], axis=-1)
     assert err.max() < 5e-2, err.max()
 
