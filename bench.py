@@ -292,6 +292,72 @@ def main():
 
     section("slam-L256-reftuned", sec_slam256, floor_s=40.0)
 
+    # ---- 4b. FLS fleet (dim=2 whole-DA lanes kernel) --------------------------
+    def sec_fls():
+        cfg = dataclasses.replace(
+            EKFSlamConfig(), max_landmarks=64, max_obs=8,
+            mhl_dist_fls=3.0, q_fls_diag=(4.0, 4.0), r_diag=(1e-3,) * 6)
+        B = 128
+        params = slam.make_params(cfg)
+        scale = 400.0 / 17.0
+
+        def fls_tls(duration, B):
+            freq = cfg.system_freq
+            T = int(duration * freq)
+            tls = []
+            for b in range(min(B, 16)):
+                rng = np.random.default_rng(500 + b)
+                n_lm = 24
+                lms = np.column_stack([
+                    rng.uniform(5.0, 5.0 + 0.15 * T, n_lm),
+                    rng.uniform(-6.0, 6.0, n_lm),
+                    rng.uniform(-2.5, -1.0, n_lm),
+                ])
+                ticks = (np.arange(T) + 1) / freq
+                poses = np.zeros((T, 6))
+                poses[:, 0] = 0.15 * np.arange(T)
+                poses[:, 2] = -1.5
+                poses[:, 5] = 0.15 * np.sin(0.05 * np.arange(T))
+                # identity extrinsic: v = R(rpy)^T (lm - p), pixels in numpy
+                cy, sy = np.cos(poses[:, 5]), np.sin(poses[:, 5])
+                d = lms[None, :, :] - poses[:, None, 0:3]        # (T,N,3)
+                v0 = cy[:, None] * d[:, :, 0] + sy[:, None] * d[:, :, 1]
+                v1 = -sy[:, None] * d[:, :, 0] + cy[:, None] * d[:, :, 1]
+                v2 = d[:, :, 2]
+                vis = (v0 > 0.5) & (np.hypot(v0, v2) < 12.0)
+                px0 = scale * np.hypot(v0, v2) + rng.normal(0, 0.5, v0.shape)
+                px1 = -scale * v1 + rng.normal(0, 0.5, v0.shape)
+                kk, nn = np.nonzero(vis)
+                tls.append(build_timeline(
+                    0.0, duration, freq,
+                    channels={"odom": (ticks, poses.astype(np.float32))},
+                    events={"fls": (
+                        ticks[kk],
+                        np.column_stack([px0[kk, nn], px1[kk, nn],
+                                         np.zeros(len(kk))]).astype(np.float32),
+                        kk, cfg.max_obs)},
+                ))
+            tls = (tls * ((B + len(tls) - 1) // len(tls)))[:B]
+            return fleet.batch_timelines(tls)
+
+        def run_fls_fleet(t):
+            final, out = slam.run_fleet(t, params, cfg)
+            return jnp.sum(final.mu[:, 0:6]) + jnp.sum(final.n_active)
+
+        runf = jax.jit(run_fls_fleet)
+        b_s, b_b = fls_tls(15.0, B), fls_tls(60.0, B)
+        T_s, T_b = int(b_s.ticks.shape[1]), int(b_b.ticks.shape[1])
+        per_tick = slope(runf, (b_s,), (b_b,), T_s, T_b)
+        steps = B / per_tick
+        RESULT["secondary"]["ekf_slam_fls_steps_per_sec_fleet128"] = round(steps, 1)
+        print(
+            f"# ekf-slam FLS fleet (L=64): {B} x ({T_s}->{T_b}) ticks, "
+            f"{per_tick*1e6:.0f} us/fleet-tick -> {steps:,.0f} steps/s",
+            file=sys.stderr,
+        )
+
+    section("fls-fleet", sec_fls, floor_s=40.0)
+
     # ---- 5. EKF localization fleet (reference launch tunings) ----------------
     def sec_loc():
         from smarc_navigation_tpu.configs import EKFLocConfig

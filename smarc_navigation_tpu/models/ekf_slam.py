@@ -721,23 +721,30 @@ def commit_preselected(st: SlamState, H_sel, SinvH, nu_sel, cand, do, add,
 
 
 def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
-                  cfg: EKFSlamConfig):
-    """Fleet MBES DA pass: in-lanes DA kernel + vmapped preselected commit.
-    state_b is a batched SlamState; z_b (B, M, 3), mask_b (B, M)."""
+                  cfg: EKFSlamConfig, sensor: SensorSpec = None):
+    """Fleet DA pass (MBES or FLS): in-lanes DA kernel + vmapped
+    preselected commit. state_b is a batched SlamState; z_b (B, M, 3),
+    mask_b (B, M)."""
     from ..ops import slam_da_kernels
 
+    sensor = MBES if sensor is None else sensor
     B = state_b.mu.shape[0]
     L = cfg.max_landmarks
+    if sensor.dim == 2:
+        kind, r_sb, t_sb = "fls", params.r_fls_base, params.t_fls_base
+    else:
+        kind, r_sb, t_sb = "mbes", None, None
     ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = slam_da_kernels.da_lanes(
         state_b.mu[:, 0:6], state_b.n_active, state_b.active,
         state_b.mu[:, 6:].reshape(B, L, 3), state_b.Sigma,
         z_b[:, :, 0:3], mask_b,
-        jnp.diagonal(params.Q_mbes), params.lambda_mbes,
-        cfg.outlier_cost, cfg.mhl_dist_mbes, jnp.asarray(MBES.new_lm_cov),
+        jnp.diagonal(sensor.q(params)), sensor.lam(params),
+        cfg.outlier_cost, sensor.mh_dist(cfg), jnp.asarray(sensor.new_lm_cov),
+        sensor=kind, r_sb=r_sb, t_sb=t_sb,
     )
     return jax.vmap(
         lambda s, h, sh, nu, c, d, a, sl: commit_preselected(
-            s, h, sh, nu, c, d, a, sl, cfg)
+            s, h, sh, nu, c, d, a, sl, cfg, sensor)
     )(state_b, H_sel, SinvH, nu_sel, cand, do, add, slot)
 
 
@@ -755,11 +762,9 @@ def run_fleet(
     DA pass around the solver lets the fleet batch it. Semantics are
     identical to ``jax.vmap(run)``: the staging and commit halves are the
     same functions, and the lanes JV computes the same optimum (pinned by
-    tests against scipy and the dense path). MBES passes run through the
-    whole-DA lanes kernel; FLS passes run the staged path (vmapped
-    stage/commit around the lanes JV)."""
-    from ..ops import slam_da_kernels
-
+    tests against scipy and the dense path). Both MBES and FLS passes run
+    through the whole-DA lanes kernel (``da_lanes`` with the matching
+    sensor factory)."""
     tl_t = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, 0, 1), batched_timeline)
     B = batched_timeline.ticks.shape[0]
@@ -767,16 +772,6 @@ def run_fleet(
     s0 = init_state(cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
-
-    def staged_pass(st, z_b, mask_b, sensor):
-        cost, staged = jax.vmap(
-            lambda s, zv, zm: da_stage(s, zv, zm, params, cfg, sensor)
-        )(st, z_b, mask_b)
-        ctr = slam_da_kernels.hungarian_lanes(cost)
-        return jax.vmap(
-            lambda s, c, sg, zv, zm: da_commit(
-                s, c, sg, zv, zm, params, cfg, sensor, update_mode)
-        )(st, ctr, staged, z_b, mask_b)
 
     def body(state_b, tick_b):
         odom = tick_b.channels["odom"]
@@ -803,7 +798,8 @@ def run_fleet(
             evf = tick_b.events["fls"]
             st, matched_f = jax.lax.cond(
                 jnp.any(evf.mask),
-                lambda s: staged_pass(s, evf.value, evf.mask, FLS),
+                lambda s: da_lanes_pass(s, evf.value, evf.mask, params, cfg,
+                                        FLS),
                 lambda s: (s, jnp.full(evf.mask.shape, -1, jnp.int32)),
                 st)
             out["matched_fls"] = matched_f

@@ -142,41 +142,61 @@ def _make_jv_kernel(R: int, C: int):
 
 
 # ===========================================================================
-# whole-DA kernel: correspondence + cost + JV + selection, MBES
+# whole-DA kernel: correspondence + cost + JV + selection, MBES + FLS
 # ===========================================================================
 
-def _make_da_kernel(L: int, M: int):
-    """Factory for the full MBES data-association stage in one program:
+_FLS_SCALE = 400.0 / 17.0   # px per metre (correspondence_obj_fls.cpp:27)
+
+
+def _make_da_kernel(L: int, M: int, fls: bool = False):
+    """Factory for the full data-association stage in one program:
     batched correspondence over the landmark bank, candidate back-
     projections, the (L+M, M) cost table, the exact in-lanes JV, and the
     per-measurement selection + slot bookkeeping — everything between the
     motion predict and the sequential-update kernel, with missions in the
     VPU lanes.
 
+    ``fls=False`` — MBES: 3-D point measurements in the base frame.
+    ``fls=True`` — FLS pixel measurements (dim=2): h chains the base-frame
+    point through the sensor extrinsic and the polar pixel projection
+    (``correspondence_obj_fls.cpp:25-41``); H = h₂·R_fls_base·h₁ with h₁
+    the shared 3×9 point Jacobian (:61-135). The back-projection's polar
+    roundtrip collapses to scale⁻¹·(z₀, −z₁, 0) in the FLS frame — rho·
+    (cosθ, sinθ) = s⁻¹·(x, y) identically — so no trig is needed.
+
     Inputs (lane-major, B = padded mission lanes):
-      par  (1,16) SMEM: [q0,q1,q2, lam, outlier, mh_dist, nl0,nl1,nl2, ...]
+      par  (1,32) SMEM: [q0,q1,q2, lam, outlier, mh_dist, nl0,nl1,nl2,
+                         rsb00..rsb22 (9-17), tsb0..2 (18-20)]
+           (rsb/tsb = fls<-base rotation/translation; FLS only)
       pose (8,B): rows 0-5 mu pose, row 6 n_active
       act  (L,B): active mask
       lm   (3L,B): landmark positions, blocks [a*L + l]
       spp  (36,B); spl (18L,B) blocks [(i*3+k)*L + l]; sll (9L,B)
       z    (M*8,B): per m rows [z0,z1,z2,mask,0,0,0,0]
 
-    Output (M*64,B) per measurement m (base = 64m):
-      rows 0-26 H_sel (3x9 row-major), 27-53 SinvH, 54-56 nu_sel,
-      57-59 cand, 60 col_to_row, 61 do, 62 add, 63 slot
+    Output (M*64,B) per measurement m (base = 64m), dim = 2 (FLS) or 3:
+      rows 0..9dim-1 H_sel (dim x 9 row-major), 27..27+9dim-1 SinvH,
+      54..54+dim-1 nu_sel, 57-59 cand, 60 col_to_row, 61 do, 62 add,
+      63 slot
 
     Semantics pinned to ``ekf_slam.da_stage`` + the selection prologue of
     the pallas branch in ``ekf_slam.da_commit`` (itself cited to
     ``ekf_slam_core.cpp:184-340``)."""
     from .loc_kernels import _drot_entries, _rot_entries
 
+    dim = 2 if fls else 3
+
     def kernel(par_ref, pose_ref, act_ref, lm_ref, spp_ref, spl_ref, sll_ref,
                z_ref, out_ref):
-        qd = [par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]]
+        qd = [par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]][:dim]
         lam = par_ref[0, 3]
         outl = par_ref[0, 4]
         mh = par_ref[0, 5]
         nl = [par_ref[0, 6], par_ref[0, 7], par_ref[0, 8]]
+        if fls:
+            rsb = [[par_ref[0, 9 + 3 * i + j] for j in range(3)]
+                   for i in range(3)]
+            tsb = [par_ref[0, 18 + i] for i in range(3)]
 
         mu = [pose_ref[i:i + 1, :] for i in range(6)]
         n_act = pose_ref[6:7, :]
@@ -205,14 +225,34 @@ def _make_da_kernel(L: int, M: int):
         Hp = [[-Rm[j][i] for j in range(3)] for i in range(3)]    # (1,B)
         Hl = [[Rm[j][i] for j in range(3)] for i in range(3)]     # (1,B)
 
-        def Hcol(a, c):     # column c of the (3,9) H for the bank slots
+        def Hcol(a, c):     # column c of the (3,9) point-H for the bank slots
             if c < 3:
                 return Hp[a][c]
             if c < 6:
                 return Ha[a][c - 3]
             return Hl[a][c - 6]
 
-        # W = H Sigma9 (3x9), S = W H^T + Q — Sigma9 blockwise:
+        if fls:
+            # FLS chain: v = R_fls_base·h_base + t (sensor frame), pixel
+            # z_hat = s·(‖(v0,v2)‖, −v1); H row d = Σⱼ w_d[j]·Hcol(j,·)
+            # with w the rows of h₂·R_fls_base (h₂ at the expected v)
+            v = [sum(rsb[i][j] * zh[j] for j in range(3)) + tsb[i]
+                 for i in range(3)]                               # (L,B)
+            n = jnp.sqrt(v[0] * v[0] + v[2] * v[2] + 1e-12)
+            inv_n = 1.0 / n
+            zh_d = [_FLS_SCALE * n, -_FLS_SCALE * v[1]]
+            w0 = [_FLS_SCALE * (v[0] * rsb[0][j] + v[2] * rsb[2][j]) * inv_n
+                  for j in range(3)]                              # (L,B)
+            w1 = [-_FLS_SCALE * rsb[1][j] for j in range(3)]      # scalar
+
+            def HcolD(a, c):
+                w = w0 if a == 0 else w1
+                return sum(w[j] * Hcol(j, c) for j in range(3))
+        else:
+            zh_d = zh
+            HcolD = Hcol
+
+        # W = H Sigma9 (dim x 9), S = W H^T + Q — Sigma9 blockwise:
         # cols 0-5 pose, 6-8 landmark; Spl rows are pose-major
         def Sig9(c, d):
             if c < 6 and d < 6:
@@ -223,16 +263,22 @@ def _make_da_kernel(L: int, M: int):
                 return Spl[d][c - 6]
             return Sll[c - 6][d - 6]
 
-        W = [[sum(Hcol(a, c) * Sig9(c, d) for c in range(9)) for d in range(9)]
-             for a in range(3)]
-        S = [[None] * 3 for _ in range(3)]
-        for a in range(3):
-            for b in range(a, 3):
-                s = sum(W[a][d] * Hcol(b, d) for d in range(9))
+        W = [[sum(HcolD(a, c) * Sig9(c, d) for c in range(9)) for d in range(9)]
+             for a in range(dim)]
+        S = [[None] * dim for _ in range(dim)]
+        for a in range(dim):
+            for b in range(a, dim):
+                s = sum(W[a][d] * HcolD(b, d) for d in range(9))
                 if a == b:
                     s = s + qd[a]
                 S[a][b] = s
                 S[b][a] = s
+
+        def inv2(S):
+            det = S[0][0] * S[1][1] - S[0][1] * S[0][1]
+            inv_det = 1.0 / det
+            return [[S[1][1] * inv_det, -S[0][1] * inv_det],
+                    [-S[0][1] * inv_det, S[0][0] * inv_det]]
 
         def inv3(S):
             c00 = S[1][1] * S[2][2] - S[1][2] * S[1][2]
@@ -252,7 +298,8 @@ def _make_da_kernel(L: int, M: int):
             Si[2][1] = Si[1][2]
             return Si
 
-        Si = inv3(S)                                              # (L,B) comps
+        inv_s = inv2 if fls else inv3
+        Si = inv_s(S)                                             # (L,B) comps
 
         # --- per measurement: innovation, gate, candidates, cost -----------
         z = []
@@ -270,31 +317,57 @@ def _make_da_kernel(L: int, M: int):
             valid = zr[3:4, :] > 0.5
             z.append(zm)
             zmask.append(valid)
-            nu_m = [zm[a] - zh[a] for a in range(3)]               # (L,B)
+            nu_m = [zm[a] - zh_d[a] for a in range(dim)]           # (L,B)
             nu_all.append(nu_m)
             dm = sum(nu_m[a] * Si[a][b] * nu_m[b]
-                     for a in range(3) for b in range(3))
+                     for a in range(dim) for b in range(dim))
             gate = (dm < lam) & active & valid
             known = jnp.where(gate, dm, outl)                     # (L,B)
             crow = jnp.where(iota_m == float(m), mh, outl)        # (M,1)->(M,B)
             crow = jnp.broadcast_to(crow, (M, known.shape[1]))
             costblks.append(jnp.concatenate([known, crow], axis=0))
 
-            # candidate back-projection c = R z + p, and its correspondence
-            cm = [sum(Rm[a][j] * zm[j] for j in range(3)) + mu[a]
-                  for a in range(3)]                               # (1,B)
+            # candidate back-projection and its correspondence. MBES:
+            # c = R z + p. FLS: pixels -> FLS-frame point s⁻¹·(z0,-z1,0)
+            # (the polar roundtrip is the identity) -> base -> map.
+            if fls:
+                pf = [zm[0] / _FLS_SCALE, -zm[1] / _FLS_SCALE,
+                      jnp.zeros_like(zm[0])]
+                pb = [sum(rsb[i][a] * (pf[i] - tsb[i]) for i in range(3))
+                      for a in range(3)]                           # (1,B)
+                cm = [sum(Rm[a][j] * pb[j] for j in range(3)) + mu[a]
+                      for a in range(3)]
+            else:
+                cm = [sum(Rm[a][j] * zm[j] for j in range(3)) + mu[a]
+                      for a in range(3)]                           # (1,B)
             cands.append(cm)
             diff_c = [cm[a] - mu[a] for a in range(3)]
-            zh_c = [sum(Rm[j][i] * diff_c[j] for j in range(3)) for i in range(3)]
+            zh_c3 = [sum(Rm[j][i] * diff_c[j] for j in range(3)) for i in range(3)]
             Ha_c = [[sum(dR[k][j][i] * diff_c[j] for j in range(3))
                      for k in range(3)] for i in range(3)]
 
-            def Hcol_c(a, c):
+            def Hcol_c(a, c, Ha_c=Ha_c):
                 if c < 3:
                     return Hp[a][c]
                 if c < 6:
                     return Ha_c[a][c - 3]
                 return Hl[a][c - 6]
+
+            if fls:
+                v_c = [sum(rsb[i][j] * zh_c3[j] for j in range(3)) + tsb[i]
+                       for i in range(3)]
+                n_c = jnp.sqrt(v_c[0] * v_c[0] + v_c[2] * v_c[2] + 1e-12)
+                inv_nc = 1.0 / n_c
+                zh_c = [_FLS_SCALE * n_c, -_FLS_SCALE * v_c[1]]
+                w0_c = [_FLS_SCALE * (v_c[0] * rsb[0][j] + v_c[2] * rsb[2][j])
+                        * inv_nc for j in range(3)]
+
+                def HcolD_c(a, c, Hcol_c=Hcol_c, w0_c=w0_c):
+                    w = w0_c if a == 0 else w1
+                    return sum(w[j] * Hcol_c(j, c) for j in range(3))
+            else:
+                zh_c = zh_c3
+                HcolD_c = Hcol_c
 
             def Sig9c(c, d):
                 if c < 6 and d < 6:
@@ -303,19 +376,19 @@ def _make_da_kernel(L: int, M: int):
                     return nl[c - 6]
                 return 0.0
 
-            Wc = [[sum(Hcol_c(a, c) * Sig9c(c, d) for c in range(9))
-                   for d in range(9)] for a in range(3)]
-            Sc = [[None] * 3 for _ in range(3)]
-            for a in range(3):
-                for b in range(a, 3):
-                    s = sum(Wc[a][d] * Hcol_c(b, d) for d in range(9))
+            Wc = [[sum(HcolD_c(a, c) * Sig9c(c, d) for c in range(9))
+                   for d in range(9)] for a in range(dim)]
+            Sc = [[None] * dim for _ in range(dim)]
+            for a in range(dim):
+                for b in range(a, dim):
+                    s = sum(Wc[a][d] * HcolD_c(b, d) for d in range(9))
                     if a == b:
                         s = s + qd[a]
                     Sc[a][b] = s
                     Sc[b][a] = s
-            Sic = inv3(Sc)
-            nuc = [zm[a] - zh_c[a] for a in range(3)]
-            Hc_all.append(Hcol_c)
+            Sic = inv_s(Sc)
+            nuc = [zm[a] - zh_c[a] for a in range(dim)]
+            Hc_all.append(HcolD_c)
             Sic_all.append(Sic)
             nuc_all.append(nuc)
 
@@ -340,22 +413,28 @@ def _make_da_kernel(L: int, M: int):
             slot = jnp.where(is_new, new_slot, r_clip)
             cum_can_add = cum_can_add + jnp.where(can_add, 1.0, 0.0)
 
-            Hsel = [[jnp.where(is_new, Hc_all[m](a, c),
-                               Hcol(a, c) if c < 3 or c >= 6 else pickl(Ha[a][c - 3]))
-                     for c in range(9)] for a in range(3)]
+            def bank_sel(a, c):
+                # slot-independent bank-H entries are (1,B) rows; the rest
+                # are (L,B) and need the one-hot slot pick
+                q = HcolD(a, c)
+                return q if q.shape[0] == 1 else pickl(q)
+
+            Hsel = [[jnp.where(is_new, Hc_all[m](a, c), bank_sel(a, c))
+                     for c in range(9)] for a in range(dim)]
             Sisel = [[jnp.where(is_new, Sic_all[m][a][b], pickl(Si[a][b]))
-                      for b in range(3)] for a in range(3)]
+                      for b in range(dim)] for a in range(dim)]
             nusel = [jnp.where(is_new, nuc_all[m][a], pickl(nu_all[m][a]))
-                     for a in range(3)]
-            SinvH = [[sum(Sisel[a][b] * Hsel[b][c] for b in range(3))
-                      for c in range(9)] for a in range(3)]
+                     for a in range(dim)]
+            SinvH = [[sum(Sisel[a][b] * Hsel[b][c] for b in range(dim))
+                      for c in range(9)] for a in range(dim)]
 
             base = m * 64
-            for a in range(3):
+            for a in range(dim):
                 for c in range(9):
                     out_ref[base + a * 9 + c:base + a * 9 + c + 1, :] = Hsel[a][c]
                     out_ref[base + 27 + a * 9 + c:base + 28 + a * 9 + c, :] = SinvH[a][c]
                 out_ref[base + 54 + a:base + 55 + a, :] = nusel[a]
+            for a in range(3):
                 out_ref[base + 57 + a:base + 58 + a, :] = cands[m][a]
             out_ref[base + 60:base + 61, :] = ctr[m]
             out_ref[base + 61:base + 62, :] = jnp.where(do, 1.0, 0.0)
@@ -365,7 +444,7 @@ def _make_da_kernel(L: int, M: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("sensor",))
 def da_lanes(
     pose6: jnp.ndarray,     # (B, 6)
     n_active: jnp.ndarray,  # (B,)
@@ -374,17 +453,21 @@ def da_lanes(
     Sigma: jnp.ndarray,     # (B, D, D), D = 6 + 3L
     z: jnp.ndarray,         # (B, M, 3)
     z_mask: jnp.ndarray,    # (B, M) bool
-    q_diag: jnp.ndarray,    # (3,)
+    q_diag: jnp.ndarray,    # (dim,)
     lam, outlier, mh_dist,
     new_lm_cov: jnp.ndarray,  # (3,)
+    sensor: str = "mbes",
+    r_sb: jnp.ndarray = None,  # (3,3) fls<-base rotation (FLS only)
+    t_sb: jnp.ndarray = None,  # (3,)  fls<-base translation (FLS only)
 ):
-    """Whole MBES DA stage for a fleet -> dict of per-measurement tensors.
+    """Whole DA stage (MBES or FLS) for a fleet -> per-measurement tensors.
 
-    Returns (col_to_row (B,M) i32, H_sel (B,M,3,9), SinvH (B,M,3,9),
-    nu_sel (B,M,3), cand (B,M,3), do (B,M) bool, add (B,M) bool,
+    Returns (col_to_row (B,M) i32, H_sel (B,M,dim,9), SinvH (B,M,dim,9),
+    nu_sel (B,M,dim), cand (B,M,3), do (B,M) bool, add (B,M) bool,
     slot (B,M) i32)."""
     B, M = z.shape[0], z.shape[1]
     L = active.shape[1]
+    dim = 2 if sensor == "fls" else 3
     f32 = jnp.float32
     Bp = max(128, ((B + 127) // 128) * 128)
 
@@ -409,15 +492,18 @@ def da_lanes(
     zmix = zmix.at[:, :, 0:3].set(z.astype(f32))
     zmix = zmix.at[:, :, 3].set(z_mask.astype(f32))
     z_in = z_in.at[:, :B].set(zmix.reshape(B, M * 8).T)
-    par = jnp.zeros((1, 16), f32)
-    par = par.at[0, 0:3].set(q_diag.astype(f32))
+    par = jnp.zeros((1, 32), f32)
+    par = par.at[0, 0:dim].set(q_diag.astype(f32)[:dim])
     par = par.at[0, 3].set(jnp.asarray(lam, f32))
     par = par.at[0, 4].set(jnp.asarray(outlier, f32))
     par = par.at[0, 5].set(jnp.asarray(mh_dist, f32))
     par = par.at[0, 6:9].set(new_lm_cov.astype(f32))
+    if sensor == "fls":
+        par = par.at[0, 9:18].set(r_sb.astype(f32).reshape(9))
+        par = par.at[0, 18:21].set(t_sb.astype(f32))
 
     out = pl.pallas_call(
-        _make_da_kernel(L, M),
+        _make_da_kernel(L, M, fls=(sensor == "fls")),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -425,9 +511,9 @@ def da_lanes(
     )(par, pose_in, act_in, lm_in, spp_in, spl_in, sll_in, z_in)
 
     o = out[:, :B].T.reshape(B, M, 64)
-    H_sel = o[:, :, 0:27].reshape(B, M, 3, 9)
-    SinvH = o[:, :, 27:54].reshape(B, M, 3, 9)
-    nu_sel = o[:, :, 54:57]
+    H_sel = o[:, :, 0:9 * dim].reshape(B, M, dim, 9)
+    SinvH = o[:, :, 27:27 + 9 * dim].reshape(B, M, dim, 9)
+    nu_sel = o[:, :, 54:54 + dim]
     cand = o[:, :, 57:60]
     ctr = jnp.round(o[:, :, 60]).astype(jnp.int32)
     do = o[:, :, 61] > 0.5

@@ -122,12 +122,18 @@ def test_raycast_fleet_kernel_matches_dense():
 
 
 def test_run_fleet_fls_pass_matches_vmapped_run():
-    """FLS fleets run the staged path (vmapped stage/commit around the lanes
-    JV); results must match the per-mission dense path."""
+    """FLS fleets run the whole-DA lanes kernel (dim=2 factory, incl. the
+    sensor-extrinsic chain); results must match the per-mission dense path."""
+    from smarc_navigation_tpu.utils.geometry import Transform, rotmat_from_rpy
+
     cfg = dataclasses.replace(
         EKFSlamConfig(), max_landmarks=8, max_obs=4,
         q_fls_diag=(4.0, 4.0), r_diag=(1e-3,) * 6)
-    params = slam.make_params(cfg)
+    # nontrivial mount: 0.4 m forward, pitched down 0.08 rad
+    tf_bf = Transform(
+        rot=rotmat_from_rpy(jnp.asarray([0.0, 0.08, 0.0], jnp.float32)),
+        trans=jnp.asarray([0.4, 0.0, -0.2], jnp.float32))
+    params = slam.make_params(cfg, tf_base_fls=tf_bf)
     true_lms = np.array([[8.0, 2.0, -1.0], [12.0, -3.0, -1.0]])
     T = 30
     ticks = (np.arange(T) + 1) / cfg.system_freq
