@@ -184,7 +184,15 @@ def update_resample(
     params: PFParams,
     scheme: str = "residual",
     use_pallas: bool = False,
+    pmesh=None,
 ) -> PFState:
+    """GPS weight update + resample + jitter (``auv_pf.py:135-198``).
+
+    ``pmesh``: a mesh with a ``particle`` axis routes the systematic
+    resample through the explicit-collectives distributed kernel
+    (``parallel.resample_dist`` — all-gathered blocked-CDF prefix, ppermute
+    halo exchange), for banks sharded across chips. Ancestors are
+    bit-identical to the single-device path (dryrun-verified)."""
     key, k_res, k_noise = jax.random.split(state.key, 3)
     # batched log-weights: (3,3) @ (3,N) + fused row math
     pos_map = params.r_m2o @ state.particles[0:3] + params.t_m2o[:, None]
@@ -203,7 +211,13 @@ def update_resample(
     w = w + 1e-30
     w = w / jnp.sum(w)
 
-    if use_pallas and scheme == "systematic":
+    if pmesh is not None and scheme == "systematic":
+        # multi-chip bank: distributed resample with explicit collectives
+        from ..parallel import resample_dist
+
+        parts = resample_dist.systematic_resample_gather_dist(
+            state.particles, w, k_res, pmesh, use_pallas=use_pallas)
+    elif use_pallas and scheme == "systematic":
         # fused Pallas resample+gather (monotone-window MXU expansion) —
         # bit-identical ancestors to resampling.systematic_resample
         from ..ops import pf_kernels

@@ -54,13 +54,14 @@ def _make_resample_kernel(batch: int):
     with its own ancestor window — DMAs issued together (latency overlap)
     and per-grid-step overhead (~0.6 us) amortized `batch`-fold."""
 
-    def kernel(starts_ref, mcum_ref, parts_ref, out_ref, *scratch):
+    def kernel(starts_ref, off_ref, mcum_ref, parts_ref, out_ref, *scratch):
         mwins = scratch[0:batch]            # batch x (1, W) i32
         pwins = scratch[batch:2 * batch]    # batch x (8, W) f32
         sems = scratch[2 * batch]
         c = pl.program_id(0)
         K = out_ref.shape[1] // batch
         W = mwins[0].shape[1]
+        off = off_ref[0]                    # global slot of local output 0
 
         copies = []
         for b in range(batch):
@@ -82,7 +83,7 @@ def _make_resample_kernel(batch: int):
             # exactly 0/1) and recover exact f32 particle values through a
             # 3-way bf16 split of the window (hi+mid+lo == x exactly; each
             # output column hits exactly one 1 in the one-hot).
-            jg = (c * batch + b) * K + jax.lax.broadcasted_iota(
+            jg = off + (c * batch + b) * K + jax.lax.broadcasted_iota(
                 jnp.int32, (W, K), 1)
             mw = mwins[b][0, :]
             A = (mw[:, None] > jg).astype(jnp.bfloat16)            # (W,K)
@@ -130,6 +131,8 @@ def systematic_resample_gather(
     weight vector (the fallback's XLA gather costs ~100x the kernel at 2^20
     — acceptable for weight-collapse resamples, which in a running filter
     happen at most once at the first fix)."""
+    from . import resampling
+
     n = parts.shape[1]
     W = block + _WSLACK
     if n % block or n < W:
@@ -139,15 +142,9 @@ def systematic_resample_gather(
             raise ValueError(
                 f"particle count {n} must be divisible by {block} and >= {block + _WSLACK}"
             )
-    grid = n // block
 
     u = jax.random.uniform(key, (), jnp.float32)
-    cdf = jnp.cumsum(weights)
-    cdf = cdf.at[-1].set(1.0)
-    m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
-    # XLA's parallel f32 cumsum is not monotone (ulp step-backs at segment
-    # boundaries); the one-hot difference needs monotone counts
-    m_cum = jax.lax.cummax(m_cum)
+    m_cum = resampling.systematic_counts(weights, u)
 
     # per-block window starts (first ancestor of the block), 128-aligned
     # down and clamped into range; window must reach the block's last
@@ -164,31 +161,9 @@ def systematic_resample_gather(
         [parts.astype(jnp.float32), jnp.zeros((2, n), jnp.float32)], axis=0
     )
 
-    batch = 4 if grid % 4 == 0 else 1
-    grid_b = grid // batch
-
     def fast(_):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid_b,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, N) in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, N) in HBM
-            ],
-            out_specs=pl.BlockSpec(
-                (8, block * batch), lambda c, s: (0, c), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=(
-                [pltpu.VMEM((1, W), jnp.int32) for _ in range(batch)]
-                + [pltpu.VMEM((8, W), jnp.float32) for _ in range(batch)]
-                + [pltpu.SemaphoreType.DMA((2 * batch,))]
-            ),
-        )
-        return pl.pallas_call(
-            _make_resample_kernel(batch),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
-        )(starts, m_cum[None, :], parts8)
+        return expand_gather_call(m_cum, parts8, starts,
+                                  jnp.zeros((1,), jnp.int32), n, block, W)
 
     def exact(_):
         anc = jnp.searchsorted(
@@ -198,6 +173,45 @@ def systematic_resample_gather(
 
     out8 = jax.lax.cond(fits, fast, exact, None)
     return out8[0:6]
+
+
+def expand_gather_call(
+    m_cum: jnp.ndarray,    # (Nw,) monotone cumulative counts (window space)
+    parts8: jnp.ndarray,   # (8, Nw) particle window (sublane-padded)
+    starts: jnp.ndarray,   # (n_out/block,) 128-aligned window starts
+    out_off: jnp.ndarray,  # (1,) i32: global output slot of local output 0
+    n_out: int,
+    block: int,
+    W: int,
+) -> jnp.ndarray:
+    """The fused one-hot/MXU ancestor expansion over a particle window.
+
+    Factored out of ``systematic_resample_gather`` so the distributed
+    resample (``parallel.resample_dist``) can run the same kernel on a
+    halo-extended shard window with a nonzero output offset."""
+    grid = n_out // block
+    batch = 4 if grid % 4 == 0 else 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid // batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, Nw) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, Nw) in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (8, block * batch), lambda c, s, o: (0, c), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((1, W), jnp.int32) for _ in range(batch)]
+            + [pltpu.VMEM((8, W), jnp.float32) for _ in range(batch)]
+            + [pltpu.SemaphoreType.DMA((2 * batch,))]
+        ),
+    )
+    return pl.pallas_call(
+        _make_resample_kernel(batch),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_out), jnp.float32),
+    )(starts, out_off, m_cum[None, :], parts8)
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:

@@ -14,6 +14,44 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Block size of the deterministic prefix-sum used for systematic counts.
+# The blocked form makes the f32 rounding of the CDF INDEPENDENT of how the
+# bank is laid out: computed over the full bank or per particle-shard
+# (shard sizes a multiple of the block), every element sees the same
+# summation tree — which is what lets the distributed resample
+# (``parallel.resample_dist``) produce bit-identical ancestors to the
+# single-device path.
+CDF_BLOCK = 2048
+
+
+def blocked_cdf(weights: jnp.ndarray) -> jnp.ndarray:
+    """Prefix sum with a fixed two-level summation tree (intra-block scan +
+    scan of block sums). Falls back to a plain cumsum for banks that don't
+    tile by CDF_BLOCK (small banks; the distributed path requires tiling)."""
+    n = weights.shape[0]
+    if n % CDF_BLOCK or n <= CDF_BLOCK:
+        return jnp.cumsum(weights)
+    rows = weights.reshape(n // CDF_BLOCK, CDF_BLOCK)
+    rowcum = jnp.cumsum(rows, axis=1)
+    prefix = jnp.concatenate(
+        [jnp.zeros(1, weights.dtype), jnp.cumsum(rowcum[:, -1])[:-1]])
+    return (rowcum + prefix[:, None]).reshape(n)
+
+
+def systematic_counts(weights: jnp.ndarray, u) -> jnp.ndarray:
+    """Monotone cumulative ancestor counts m_cum[i] = #outputs owned by
+    ancestors 0..i (ints ending at N): cummax(clip(ceil(N·cdf − u))).
+    Shared by the XLA sampler, the fused Pallas kernel and the distributed
+    resample so their ancestors agree bit-for-bit."""
+    n = weights.shape[0]
+    cdf = blocked_cdf(weights)
+    cdf = cdf.at[-1].set(1.0)  # guard round-off (reference does the same)
+    m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    # XLA's parallel cumsum is not monotone under f32 rounding (segment
+    # boundaries can step back by an ulp, which survives the ceil at large
+    # N); a true prefix sum of positive weights is — restore that invariant
+    return jax.lax.cummax(m_cum)
+
 
 def _inverse_cdf(weights: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
     cdf = jnp.cumsum(weights)
@@ -49,16 +87,8 @@ def systematic_resample(key, weights: jnp.ndarray) -> jnp.ndarray:
     closed-form count per ancestor — ⌈N·cdf_i − u⌉ — so the whole resample
     is cumsum + scatter + running-max (no sort, no binary search).
     """
-    n = weights.shape[0]
     u = jax.random.uniform(key, (), weights.dtype)
-    cdf = jnp.cumsum(weights)
-    cdf = cdf.at[-1].set(1.0)
-    m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
-    # XLA's parallel cumsum is not monotone under f32 rounding (segment
-    # boundaries can step back by an ulp, which survives the ceil at large
-    # N); a true prefix sum of positive weights is — restore that invariant
-    m_cum = jax.lax.cummax(m_cum)
-    return _expand_blocks(m_cum)
+    return _expand_blocks(systematic_counts(weights, u))
 
 
 def stratified_resample(key, weights: jnp.ndarray) -> jnp.ndarray:

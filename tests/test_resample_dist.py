@@ -1,0 +1,131 @@
+"""Distributed systematic resample (explicit collectives over the particle
+axis) vs the single-device sampler: bit-identical ancestors.
+
+The exactness hinges on the shared blocked-CDF summation tree
+(``ops.resampling.blocked_cdf``): computed per-shard + all-gathered block
+sums must reproduce the full-bank f32 roundings element for element.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smarc_navigation_tpu.ops import resampling
+from smarc_navigation_tpu.parallel import mesh as pmesh
+from smarc_navigation_tpu.parallel import resample_dist
+
+
+def _bank(n, seed=0):
+    rng = np.random.default_rng(seed)
+    parts = rng.normal(size=(6, n)).astype(np.float32)
+    return jnp.asarray(parts)
+
+
+def _weights(n, kind, seed=0):
+    rng = np.random.default_rng(seed + 17)
+    if kind == "uniform":
+        w = rng.uniform(0.5, 1.5, n)
+    elif kind == "skewed":
+        w = rng.exponential(1.0, n) ** 2
+    elif kind == "collapse":
+        w = np.full(n, 1e-12)
+        w[n // 3] = 1.0
+    else:
+        raise ValueError(kind)
+    w = (w / w.sum()).astype(np.float32)
+    return jnp.asarray(w)
+
+
+def test_blocked_cdf_matches_plain_cumsum_tolerance():
+    n = 4 * resampling.CDF_BLOCK
+    w = _weights(n, "uniform")
+    np.testing.assert_allclose(
+        np.asarray(resampling.blocked_cdf(w)),
+        np.cumsum(np.asarray(w)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["uniform", "skewed", "collapse"])
+@pytest.mark.parametrize("particle_ax", [4, 8])
+def test_dist_resample_bit_identical_ancestors(kind, particle_ax):
+    n = 1 << 17
+    m = pmesh.make_mesh(particle=particle_ax)
+    parts = _bank(n)
+    w = _weights(n, kind)
+    key = jax.random.PRNGKey(7)
+
+    # single-device reference: ancestors of the XLA sampler
+    anc = resampling.systematic_resample(key, w)
+    ref = np.asarray(jnp.take(parts, anc, axis=1))
+
+    out = resample_dist.systematic_resample_gather_dist(
+        parts, w, key, m, halo=2048)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_dist_resample_fallback_on_tiny_halo():
+    """A halo too small for the ancestor spread must route to the exact
+    all-gather branch, not return wrong columns."""
+    n = 1 << 17
+    m = pmesh.make_mesh(particle=8)
+    parts = _bank(n, seed=3)
+    # all mass on the middle shard: every shard's ancestors live there
+    w = _weights(n, "collapse", seed=3)
+    key = jax.random.PRNGKey(11)
+    anc = resampling.systematic_resample(key, w)
+    ref = np.asarray(jnp.take(parts, anc, axis=1))
+    out = resample_dist.systematic_resample_gather_dist(
+        parts, w, key, m, halo=128)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_expand_gather_offset_window_matches():
+    """The Pallas expansion kernel with a nonzero output offset over a
+    halo-extended window (the shard-local view the distributed resample
+    hands it) matches the ancestors of the single-device sampler.
+
+    Interpret-mode Pallas deadlocks INSIDE shard_map on the CPU backend, so
+    this drives the kernel directly with shard-s arrays built in numpy —
+    the same inputs ``systematic_gather_shard`` constructs; the collective
+    assembly of those inputs is covered by the XLA-path tests above, and
+    the pallas+shard_map composition runs on the real chip (bench)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from smarc_navigation_tpu.ops import pf_kernels
+
+    n = 1 << 14
+    P_, H, block = 4, 1024, 512
+    ns = n // P_
+    parts = _bank(n, seed=5)
+    w = _weights(n, "uniform", seed=5)
+    key = jax.random.PRNGKey(3)
+    u = jax.random.uniform(key, (), jnp.float32)
+    m_cum = np.asarray(resampling.systematic_counts(w, u))
+    anc = resampling.systematic_resample(key, w)
+    ref = np.asarray(jnp.take(parts, anc, axis=1))
+
+    parts8 = np.concatenate(
+        [np.asarray(parts), np.zeros((2, n), np.float32)], axis=0)
+    for s in range(P_):
+        lo, hi = s * ns, (s + 1) * ns
+        xlo, xhi = max(0, lo - H), min(n, hi + H)
+        # build extended window exactly as the shard body would: zero-fill
+        # halos that fall off the bank (shard 0 left, last shard right=n)
+        m_ext = np.zeros(ns + 2 * H, np.int32)
+        p_ext = np.zeros((8, ns + 2 * H), np.float32)
+        m_ext[H - (lo - xlo):H] = m_cum[xlo:lo]
+        m_ext[H:H + ns] = m_cum[lo:hi]
+        m_ext[H + ns:H + ns + (xhi - hi)] = m_cum[hi:xhi]
+        if s == P_ - 1:
+            m_ext[H + ns:] = n
+        p_ext[:, H - (lo - xlo):H] = parts8[:, xlo:lo]
+        p_ext[:, H:H + ns] = parts8[:, lo:hi]
+        p_ext[:, H + ns:H + ns + (xhi - hi)] = parts8[:, hi:xhi]
+
+        W = block + 384
+        ts = np.searchsorted(m_ext, lo + np.arange(0, ns, block), side="right")
+        starts = np.clip((ts // 128) * 128, 0, ns + 2 * H - W).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out8 = pf_kernels.expand_gather_call(
+                jnp.asarray(m_ext), jnp.asarray(p_ext), jnp.asarray(starts),
+                jnp.asarray([lo], jnp.int32), ns, block, W)
+        np.testing.assert_array_equal(np.asarray(out8)[0:6], ref[:, lo:hi])
