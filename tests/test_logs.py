@@ -176,3 +176,21 @@ def test_replay_cli_end_to_end(tmp_path):
     assert rep["n_landmarks_mapped"] > 0
     assert rep["rmse_pos"] < 0.5, rep
     assert os.path.exists(os.path.join(out_dir, "dashboard.png"))
+
+
+def test_committed_sample_log_replay(tmp_path):
+    """The in-repo recorded log (data/sample_mission.npz, generated by
+    data/make_sample_log.py in the io/logs.py schema) replays through the
+    exact CLI path a user with a converted rosbag would run, and tracks the
+    recorded ground truth."""
+    from smarc_navigation_tpu import run as cli
+
+    log_path = os.path.join(os.path.dirname(__file__), "..",
+                            "data", "sample_mission.npz")
+    assert os.path.exists(log_path), "committed sample log missing"
+    out_dir = str(tmp_path / "rep")
+    cli.main(["replay", "--log", log_path, "--out", out_dir])
+    rep = json.load(open(os.path.join(out_dir, "report.json")))
+    assert rep["n_landmarks_mapped"] >= 10, rep
+    assert rep["rmse_pos"] < 0.5, rep
+    assert os.path.exists(os.path.join(out_dir, "dashboard.png"))
