@@ -460,6 +460,26 @@ def main():
             f"us/fleet-tick -> {64/per15:,.0f} steps/s", file=sys.stderr,
         )
 
+        # dual pair (dual_ekf_test.launch): local + global filter per
+        # mission, both through the lanes kernel + batched map->odom tf
+        cfg15g = e15.global_config(frequency=50.0)
+        rd, Td = {}, {}
+        for dur, key in ((15.0, "s"), (240.0, "b")):
+            m15 = sim.simulate(sim.MissionSpec(duration_s=dur, seed=5))
+            tl15 = e15.ekf15_timeline(m15, cfg15, include_gps=True)
+            bt15 = fleet.batch_timelines([tl15] * 64)
+            Td[key] = int(bt15.ticks.shape[1])
+            fnd = lambda t: jnp.sum(
+                e15.run_dual_fleet(t, t, cfg15, cfg15g)[2].trans)
+            rd[key] = timed(fnd, bt15)
+        perd = max(rd["b"] - rd["s"], 1e-9) / (Td["b"] - Td["s"])
+        RESULT["secondary"]["ekf15_dual_pairs_per_sec_fleet64"] = round(
+            64 / perd, 1)
+        print(
+            f"# ekf15 DUAL fleet: 64 missions, {perd*1e6:.2f} us/fleet-tick "
+            f"-> {64/perd:,.0f} dual-steps/s", file=sys.stderr,
+        )
+
     section("ekf15-fleet", sec_ekf15, floor_s=40.0)
 
     # ---- 8. closed-form SAM dead-reckoning fleet ------------------------------

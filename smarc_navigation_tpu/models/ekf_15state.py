@@ -384,3 +384,24 @@ def run_fleet(batched_timeline, cfg: Ekf15Config = Ekf15Config(), x0=None):
     from ..ops import ekf15_kernels
 
     return ekf15_kernels.run_fleet15(batched_timeline, cfg, x0=x0)
+
+
+def run_dual_fleet(
+    batched_local: Timeline,
+    batched_global: Timeline,
+    cfg_local: Ekf15Config = Ekf15Config(),
+    cfg_global: Ekf15Config | None = None,
+):
+    """The DUAL-EKF pair (local odom-frame + global map-frame filter with
+    the yaml tuning of ``dual_ekf_test.launch:102-345``) at fleet scale:
+    both filters of every mission run through the missions-in-lanes kernel
+    — two lanes-kernel scans (the two filters have distinct static sensor
+    wiring/noise, which the kernel folds in at trace time) plus the batched
+    per-tick map->odom corrections. Semantics match ``run_dual`` per
+    mission (pinned by tests/test_ekf15_kernels.py)."""
+    if cfg_global is None:
+        cfg_global = global_config(frequency=cfg_local.frequency)
+    final_l, out_l = run_fleet(batched_local, cfg_local)
+    final_g, out_g = run_fleet(batched_global, cfg_global)
+    map_odom = map_to_odom_correction(out_g["x"], out_l["x"])
+    return (final_l, out_l), (final_g, out_g), map_odom

@@ -49,3 +49,24 @@ def test_fleet15_matches_dense_global():
     final_d, out_d = e15.run(tls[0], cfg)
     np.testing.assert_allclose(
         np.asarray(out["x"][:, 0]), np.asarray(out_d["x"]), atol=5e-2)
+
+
+def test_dual_fleet_matches_run_dual():
+    """run_dual_fleet (both filters through the lanes kernel) reproduces
+    the dense run_dual per mission, including the map->odom corrections."""
+    cfg_l = e15.Ekf15Config(frequency=50.0)
+    cfg_g = e15.global_config(frequency=50.0)
+    tls, batched = _fleet(cfg_l, include_gps=True, B=2)
+    (fl, ol), (fg, og), map_odom = e15.run_dual_fleet(
+        batched, batched, cfg_l, cfg_g)
+    for b, tl in enumerate(tls):
+        (fl_d, ol_d), (fg_d, og_d), mo_d = e15.run_dual(tl, tl, cfg_l, cfg_g)
+        np.testing.assert_allclose(
+            np.asarray(ol["x"][:, b]), np.asarray(ol_d["x"]), atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(og["x"][:, b]), np.asarray(og_d["x"]), atol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(map_odom.trans[:, b]), np.asarray(mo_d.trans),
+            atol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(map_odom.rot[:, b]), np.asarray(mo_d.rot), atol=5e-2)
