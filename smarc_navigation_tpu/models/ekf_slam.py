@@ -721,10 +721,14 @@ def commit_preselected(st: SlamState, H_sel, SinvH, nu_sel, cand, do, add,
 
 
 def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
-                  cfg: EKFSlamConfig, sensor: SensorSpec = None):
-    """Fleet DA pass (MBES or FLS): in-lanes DA kernel + vmapped
-    preselected commit. state_b is a batched SlamState; z_b (B, M, 3),
-    mask_b (B, M)."""
+                  cfg: EKFSlamConfig, sensor: SensorSpec = None,
+                  A=None, valid=None):
+    """Fleet DA pass (MBES or FLS): in-lanes DA kernel + fleet update
+    kernel. state_b is a batched SlamState; z_b (B, M, 3), mask_b (B, M).
+
+    With ``A``/``valid`` given, state_b.Sigma is the RAW (pre-predict)
+    covariance and both kernels apply the motion predict to what they
+    read — Σ is never written by an XLA op."""
     from ..ops import slam_da_kernels
 
     sensor = MBES if sensor is None else sensor
@@ -734,6 +738,7 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
         kind, r_sb, t_sb = "fls", params.r_fls_base, params.t_fls_base
     else:
         kind, r_sb, t_sb = "mbes", None, None
+    r_diag = jnp.diagonal(params.R) if A is not None else None
     ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = slam_da_kernels.da_lanes(
         state_b.mu[:, 0:6], state_b.n_active, state_b.active,
         state_b.mu[:, 6:].reshape(B, L, 3), state_b.Sigma,
@@ -741,11 +746,82 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
         jnp.diagonal(sensor.q(params)), sensor.lam(params),
         cfg.outlier_cost, sensor.mh_dist(cfg), jnp.asarray(sensor.new_lm_cov),
         sensor=kind, r_sb=r_sb, t_sb=t_sb,
+        A=A, valid=valid, r_diag=r_diag,
     )
-    return jax.vmap(
-        lambda s, h, sh, nu, c, d, a, sl: commit_preselected(
-            s, h, sh, nu, c, d, a, sl, cfg, sensor)
-    )(state_b, H_sel, SinvH, nu_sel, cand, do, add, slot)
+    from ..ops import slam_kernels
+
+    f32 = state_b.mu.dtype
+    lm_ix = 6 + 3 * slot                                        # (B, M)
+    # slim bookkeeping (active mask + count), then ONE fleet update kernel
+    # call — vmapping the per-mission kernel serializes one dependency
+    # chain per grid step; the fleet kernel interleaves MB missions per
+    # step, and new-landmark μ-init rides the kernel's δμ matvec (cand)
+    active = jax.vmap(lambda a, ad, sl: a.at[jnp.where(ad, sl, L)].set(
+        True, mode="drop"))(state_b.active, add, slot)
+    n_active = state_b.n_active + jnp.sum(add, axis=1)
+    a8 = None
+    if A is not None:
+        a8 = jnp.zeros((B, 8, 16), f32)
+        a8 = a8.at[:, 0:6, 0:6].set(A.astype(f32))
+        a8 = a8.at[:, 6, 6].set(1.0)
+        a8 = a8.at[:, 7, 7].set(1.0)
+        a8 = a8.at[:, 0:6, 8].set(
+            jnp.diagonal(params.R).astype(f32)[None, :]
+            * valid.astype(f32)[:, None])
+    Sigma, mu_b = slam_kernels.sequential_update_fleet(
+        state_b.Sigma, state_b.mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
+        jnp.asarray(sensor.new_lm_cov, f32), cand, a8)
+    matched = jnp.where(do, slot, -1)
+    return SlamState(mu=mu_b, Sigma=Sigma, active=active, n_active=n_active,
+                     mu_auv_odom=state_b.mu_auv_odom), matched
+
+
+def _fleet_predict(state_b: SlamState, odom_pose: jnp.ndarray,
+                   valid: jnp.ndarray, params: SlamParams,
+                   sigma_in_xla: bool = False):
+    """Batched ``predict`` with the odom-validity gate folded into the
+    inputs: valid=False gives a bit-exact no-op (u_t=0 -> g=0, A forced to
+    the exact identity so A Σ Aᵀ reproduces Σ bitwise, R gated to zero,
+    attitude kept).
+
+    Returns ``(state, A)``. By default Σ is left UNTOUCHED and the
+    identity-gated motion Jacobian A (B,6,6) is returned for the DA/update
+    kernels to apply in VMEM — XLA-side full-Σ slab writes measured 400+
+    us/tick of whole-Σ copies on the fleet carry (docs/ROOFLINE.md). With
+    ``sigma_in_xla=True`` (no event pass this tick to carry the
+    transform), Σ is predicted here and A comes back None."""
+    B = state_b.mu.shape[0]
+    dt = state_b.mu.dtype
+    v1 = valid.astype(dt)[:, None]
+    u_t = (odom_pose[:, 0:3] - state_b.mu_auv_odom) * v1
+    att = jnp.where(valid[:, None], wrap_angle(odom_pose[:, 3:6]),
+                    state_b.mu[:, 3:6])
+    mu = state_b.mu.at[:, 0:3].add(u_t)
+    mu = mu.at[:, 3:6].set(att)
+
+    g = jax.vmap(lambda a, u: jax.jacfwd(
+        lambda x: rotmat_from_rpy(x) @ u)(a))(att, u_t)          # (B,3,3)
+    eye3 = jnp.eye(3, dtype=dt)
+    A = jnp.zeros((B, 6, 6), dt)
+    A = A.at[:, 0:3, 0:3].set(eye3)
+    A = A.at[:, 0:3, 3:6].set(g)
+    A = jnp.where(valid[:, None, None], A, jnp.eye(6, dtype=dt))
+
+    Sigma = state_b.Sigma
+    if sigma_in_xla:
+        S = state_b.Sigma
+        S11 = (jnp.einsum("bij,bjk,blk->bil", A, S[:, 0:6, 0:6], A)
+               + params.R * v1[:, :, None])
+        S1L = jnp.einsum("bij,bjk->bik", A, S[:, 0:6, 6:])
+        Sigma = S.at[:, 0:6, 0:6].set(S11)
+        Sigma = Sigma.at[:, 0:6, 6:].set(S1L)
+        Sigma = Sigma.at[:, 6:, 0:6].set(jnp.swapaxes(S1L, 1, 2))
+        A = None
+    return SlamState(
+        mu=mu, Sigma=Sigma, active=state_b.active,
+        n_active=state_b.n_active,
+        mu_auv_odom=state_b.mu_auv_odom + u_t,
+    ), A
 
 
 def run_fleet(
@@ -783,31 +859,31 @@ def run_fleet(
                 axis=1)
         else:
             odom_pose = odom.value[:, 0:6]
-        st = jax.vmap(lambda s, o: predict(s, o, params))(state_b, odom_pose)
+        # input-side rebroadcast gate: an invalid-odom mission's tick is a
+        # bit-exact no-op (zero increment, identity A, gated noise, masked
+        # measurements) — no full-Σ where and no lax.cond state copies.
+        # The predict's Σ transform rides the FIRST event pass's kernels
+        # (A below); Σ is never written by an XLA op on this path.
+        have_events = ("mbes" in tick_b.events) or ("fls" in tick_b.events)
+        st, A = _fleet_predict(state_b, odom_pose, odom.valid, params,
+                               sigma_in_xla=not have_events)
 
         out = {}
         if "mbes" in tick_b.events:
             ev = tick_b.events["mbes"]
-            st, matched = jax.lax.cond(
-                jnp.any(ev.mask),
-                lambda s: da_lanes_pass(s, ev.value, ev.mask, params, cfg),
-                lambda s: (s, jnp.full(ev.mask.shape, -1, jnp.int32)),
-                st)
+            st, matched = da_lanes_pass(
+                st, ev.value, ev.mask & odom.valid[:, None], params, cfg,
+                A=A, valid=odom.valid)
+            A = None
             out["matched_mbes"] = matched
         if "fls" in tick_b.events:
             evf = tick_b.events["fls"]
-            st, matched_f = jax.lax.cond(
-                jnp.any(evf.mask),
-                lambda s: da_lanes_pass(s, evf.value, evf.mask, params, cfg,
-                                        FLS),
-                lambda s: (s, jnp.full(evf.mask.shape, -1, jnp.int32)),
-                st)
+            st, matched_f = da_lanes_pass(
+                st, evf.value, evf.mask & odom.valid[:, None], params, cfg,
+                FLS, A=A, valid=odom.valid if A is not None else None)
+            A = None
             out["matched_fls"] = matched_f
 
-        st = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(
-                odom.valid.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-            st, state_b)
         out["mu"] = st.mu[:, 0:6]
         out["n_active"] = st.n_active
         return st, out

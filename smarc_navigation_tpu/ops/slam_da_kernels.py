@@ -148,7 +148,7 @@ def _make_jv_kernel(R: int, C: int):
 _FLS_SCALE = 400.0 / 17.0   # px per metre (correspondence_obj_fls.cpp:27)
 
 
-def _make_da_kernel(L: int, M: int, fls: bool = False):
+def _make_da_kernel(L: int, M: int, fls: bool = False, predict: bool = False):
     """Factory for the full data-association stage in one program:
     batched correspondence over the landmark bank, candidate back-
     projections, the (L+M, M) cost table, the exact in-lanes JV, and the
@@ -215,6 +215,25 @@ def _make_da_kernel(L: int, M: int, fls: bool = False):
                 for k in range(3)] for i in range(6)]             # (L,B)
         Sll = [[sll_ref[(a * 3 + c) * L:(a * 3 + c) * L + L, :]
                 for c in range(3)] for a in range(3)]
+
+        if predict:
+            # in-lanes motion predict of the Σ slabs this kernel consumes
+            # (Σ' = A Σ Aᵀ + diag(r)·valid on the pose block; Σ_ll is
+            # untouched by the predict) — the raw carry Σ is passed in and
+            # no XLA op has to write the full Σ per tick. A arrives gated
+            # to the exact identity for invalid-odom lanes, making the
+            # tick a semantic no-op (single-term sums are exact).
+            vrow = pose_ref[7:8, :]                               # (1,B)
+            Am = [[pose_ref[8 + 6 * i + j:9 + 6 * i + j, :]
+                   for j in range(6)] for i in range(6)]
+            rd = [par_ref[0, 21 + i] for i in range(6)]
+            tmp = [[sum(Spp[k][l] * Am[j][l] for l in range(6))
+                    for j in range(6)] for k in range(6)]
+            Spp = [[sum(Am[i][k] * tmp[k][j] for k in range(6))
+                    + (rd[i] * vrow if i == j else 0.0)
+                    for j in range(6)] for i in range(6)]
+            Spl = [[sum(Am[i][j] * Spl[j][k] for j in range(6))
+                    for k in range(3)] for i in range(6)]
 
         # --- correspondence for every slot (h = R^T(lm - p)) ---------------
         diff = [lm[a] - mu[a] for a in range(3)]                  # (L,B)
@@ -459,25 +478,39 @@ def da_lanes(
     sensor: str = "mbes",
     r_sb: jnp.ndarray = None,  # (3,3) fls<-base rotation (FLS only)
     t_sb: jnp.ndarray = None,  # (3,)  fls<-base translation (FLS only)
+    A: jnp.ndarray = None,     # (B,6,6) motion Jacobian (identity-gated);
+                               #   triggers the in-lanes Σ-slab predict
+    valid: jnp.ndarray = None,  # (B,) odom-valid gate for the R add
+    r_diag: jnp.ndarray = None,  # (6,) motion noise diag
 ):
     """Whole DA stage (MBES or FLS) for a fleet -> per-measurement tensors.
 
     Returns (col_to_row (B,M) i32, H_sel (B,M,dim,9), SinvH (B,M,dim,9),
     nu_sel (B,M,dim), cand (B,M,3), do (B,M) bool, add (B,M) bool,
-    slot (B,M) i32)."""
+    slot (B,M) i32).
+
+    With ``A``/``valid``/``r_diag`` given, Σ is interpreted as the RAW
+    (pre-predict) covariance and the kernel applies the motion predict to
+    the slabs it reads (``ekf_slam_core.cpp:41-121``)."""
     B, M = z.shape[0], z.shape[1]
     L = active.shape[1]
     dim = 2 if sensor == "fls" else 3
     f32 = jnp.float32
     Bp = max(128, ((B + 127) // 128) * 128)
+    predict = A is not None
 
     def lanes(x, rows):
         out = jnp.zeros((rows, Bp), f32)
         return out.at[:, :B].set(x.astype(f32).T)
 
-    pose_in = jnp.zeros((8, Bp), f32)
+    pose_rows = 48 if predict else 8
+    pose_in = jnp.zeros((pose_rows, Bp), f32)
     pose_in = pose_in.at[0:6, :B].set(pose6.astype(f32).T)
     pose_in = pose_in.at[6, :B].set(n_active.astype(f32))
+    if predict:
+        pose_in = pose_in.at[7, :B].set(valid.astype(f32))
+        pose_in = pose_in.at[8:44, :B].set(
+            A.astype(f32).reshape(B, 36).T)
     act_in = lanes(active, L)
     lm_in = lanes(lm_pos.transpose(0, 2, 1).reshape(B, 3 * L), 3 * L)
     spp_in = lanes(Sigma[:, 0:6, 0:6].reshape(B, 36), 36)
@@ -501,9 +534,11 @@ def da_lanes(
     if sensor == "fls":
         par = par.at[0, 9:18].set(r_sb.astype(f32).reshape(9))
         par = par.at[0, 18:21].set(t_sb.astype(f32))
+    if predict:
+        par = par.at[0, 21:27].set(r_diag.astype(f32))
 
     out = pl.pallas_call(
-        _make_da_kernel(L, M, fls=(sensor == "fls")),
+        _make_da_kernel(L, M, fls=(sensor == "fls"), predict=predict),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

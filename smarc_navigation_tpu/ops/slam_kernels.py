@@ -8,11 +8,8 @@ dominates everything: Σ traffic, assignment, layouts all ablate to noise.
 
 This kernel runs the WHOLE update loop for one mission inside VMEM: Σ
 (D×D ≤ 198² f32 = 157 KB) is loaded once, the M iterations run as an
-in-kernel ``fori_loop`` whose body is a handful of small MXU matmuls —
-row extraction via a one-hot selector (arbitrary-offset sublane slicing is
-not Mosaic-legal; a (16, D) one-hot matmul is), gain/innovation products,
-and the rank-dim downdate — and Σ+μ are written back once. vmap adds the
-mission grid dimension.
+in-kernel ``fori_loop`` whose body is a handful of small MXU matmuls, and
+Σ+μ are written back once. vmap adds the mission grid dimension.
 
 Semantics identical to models.ekf_slam's dense full-covariance path:
 activation (additive diag block on the zero-rows invariant) before the
@@ -32,96 +29,149 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD_DIM = 8    # measurement dim (2/3) padded to the sublane tile
 _PAD9 = 16      # the 9-wide (pose+lm) index set padded to 16 sublanes
 
+# General (value x value) matmuls need the 6-pass f32 emulation — bf16 MXU
+# passes corrupt covariance updates (CLAUDE.md). One-hot SELECTION matmuls
+# do not: with the selector exact in bf16 (entries 0/1) and the value
+# operand split hi+mid+lo (== x exactly), three DEFAULT passes accumulate
+# the exact f32 row — half the MXU work of HIGHEST. (Mosaic has no HIGH.)
+_DOTH = dict(preferred_element_type=jnp.float32,
+             precision=jax.lax.Precision.HIGHEST)
+_DOTD = dict(preferred_element_type=jnp.float32,
+             precision=jax.lax.Precision.DEFAULT)
+
+
+def _split3(x):
+    """hi+mid+lo bf16 split with hi+mid+lo == x exactly (f32 24-bit
+    mantissa = 3 x bf16 8-bit mantissas)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_dot(E_bf16, parts3, dims):
+    """Exact one-hot x f32 product as three DEFAULT-precision dots."""
+    hi, mid, lo = parts3
+    return (
+        jax.lax.dot_general(E_bf16, hi, dimension_numbers=dims, **_DOTD)
+        + jax.lax.dot_general(E_bf16, mid, dimension_numbers=dims, **_DOTD)
+        + jax.lax.dot_general(E_bf16, lo, dimension_numbers=dims, **_DOTD)
+    )
+
 
 def _update_kernel(
     lmix_ref,    # (M,) int32 SMEM: landmark state offset per update
     do_ref,      # (M,) int32 SMEM
     add_ref,     # (M,) int32 SMEM
-    nu_ref,      # (M * _PAD_DIM,) f32 SMEM: ν_j padded
     sigma_in,    # (D, D) VMEM
     mu_in,       # (8, D) VMEM (row 0 = mu)
     hsel_ref,    # (M*_PAD_DIM, _PAD9) VMEM
     gsel_ref,    # (M*_PAD_DIM, _PAD9) VMEM: (S⁻¹H)_j
-    sqcov_ref,   # (_PAD9, 128) VMEM: col 0 rows 6..8 = sqrt(new_lm_cov)
-    sigma_ref,   # (D, D) VMEM out — Σ0 + activations during the loop
+    cov_ref,     # (_PAD9, 128) VMEM: col 0 rows 4..6 = sqrt(new_lm_cov),
+                 #                    col 1 rows 6..8 = new_lm_cov
+    nu_ref,      # (M*_PAD_DIM, 128) VMEM: col 0 rows j*8+d = ν_j[d]
+    sigma_ref,   # (D, D) VMEM out
     mu_ref,      # (8, D) VMEM out
-    ubuf,        # (M*_PAD_DIM, D) VMEM scratch: K_jᵀ rows
-    vbuf,        # (M*_PAD_DIM, D) VMEM scratch: (HΣ)_j rows
+    eall,        # (M*_PAD9, D) VMEM scratch: all row selectors (bf16 would
+                 #   do; kept f32 for the prologue writes)
+    base,        # (M*_PAD9, D) VMEM scratch: E_all @ Σ0
+    ubuf,        # (M*_PAD_DIM, D) VMEM scratch: gains rows 0..2 +
+                 #   activation factors rows 4..6 per measurement
+    vbuf,        # (M*_PAD_DIM, D) VMEM scratch: (HΣ) rows + act factors
 ):
-    """Low-rank form of the sequential update: the per-measurement rank-dim
-    Σ downdates are carried as U/V factors (one (16,D) correction per gain
-    computation) and applied as ONE rank-(M·dim) downdate at the end — the
-    eight full (D,D) VPU passes were the measured wall of the SLAM fleet
-    tick (docs/ROOFLINE.md). Additions commute, so the result is
-    algebraically identical to the in-place sequence (the dense
-    ``upd_lowrank`` path proves the same algebra in XLA)."""
+    """Low-rank sequential update, v2: NOTHING touches Σ or μ inside the
+    measurement loop.
+
+    * Landmark **activations** ride in the U/V factor buffers as rank-3
+      pairs (u = −√cov·E_lm, v = +√cov·E_lm) sharing the measurement's
+      8-row block with its gain rows (gains 0..2, acts 4..6 — one combined
+      write per buffer per iteration). The measurement's OWN activation is
+      applied directly to its rows9 as a masked diag add (no matmul);
+      later measurements pick it up through the running A-chain
+      correction, exactly like the in-place sequence (correct even for
+      repeated slots, though production's JV is one-to-one).
+    * With Σ0 constant, all M row extractions collapse to ONE MXU matmul
+      ``base = E_all @ Σ0`` before the loop (the per-iteration (16,D)×(D,D)
+      row-read was the dominant in-loop op), run as an exact one-hot
+      selection at DEFAULT precision (3 bf16 passes, bit-exact).
+    * δμ = Σⱼ νⱼᵀKⱼᵀ is one end-of-loop matvec against the U buffer
+      (batch-stage gains don't depend on μ), with a single angle wrap —
+      wrap(wrap(a)+b) == wrap(a+b), so one wrap at the end is the same map.
+
+    Algebraically identical to the dense in-place sequence (additions
+    commute; ``upd_lowrank`` proves the same algebra in XLA)."""
     D = sigma_in.shape[1]
     M = lmix_ref.shape[0]
-    sigma_ref[:, :] = sigma_in[:, :]
-    mu_ref[:, :] = mu_in[:, :]
+
+    row16 = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 0)
+    colD = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, D), 0)
+    colD8 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, D), 1)
+    sq8 = cov_ref[0:_PAD_DIM, 0:1]                             # (8,1) √cov
+    cov16 = cov_ref[:, 1:2]                                    # (16,1) cov
+
+    # --- static prologue: row selectors per measurement + zeroed factors --
+    for m in range(M):
+        lm = lmix_ref[m]
+        sel = jnp.where(row16 < 6, row16, lm + (row16 - 6))
+        E = jnp.where((colD == sel) & (row16 < 9), 1.0, 0.0)    # (16,D)
+        eall[m * _PAD9:(m + 1) * _PAD9, :] = E
     ubuf[:, :] = jnp.zeros_like(ubuf)
     vbuf[:, :] = jnp.zeros_like(vbuf)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 0)
-    col8 = jax.lax.broadcasted_iota(jnp.int32, (8, D), 1)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, D), 0)
-    angle_mask = (col8 >= 3) & (col8 < 6) & (row8 == 0)
-    sqcov = sqcov_ref[:, 0:1]                                   # (16,1)
+    sig3 = _split3(sigma_in[:, :])
+    base[:, :] = _onehot_dot(
+        eall[:, :].astype(jnp.bfloat16), sig3, (((1,), (0,)), ((), ())))
 
     def body(j, _):
-        lm_ix = lmix_ref[j]
         do = do_ref[j] != 0
         add = add_ref[j] != 0
-
-        # one-hot row selector for (pose 0..5, lm_ix..lm_ix+2)
-        sel = jnp.where(row < 6, row, lm_ix + (row - 6))
-        E = jnp.where((col == sel) & (row < 9), 1.0, 0.0)       # (16,D)
-
-        # activation: Σ += (√cov·E_lm)ᵀ(√cov·E_lm) (inactive rows are zero;
-        # rare after the early mission — stays an in-place add)
-        @pl.when(add)
-        def _():
-            E_s = jnp.where((row >= 6) & (row < 9), E, 0.0) * sqcov
-            sigma_ref[:, :] += jnp.dot(
-                E_s.T, E_s, preferred_element_type=jnp.float32
-            )
+        lm = lmix_ref[j]
 
         @pl.when(do)
         def _():
-            # rows of the CURRENT Σ = (Σ0+acts) rows − accumulated U/V
-            rows9 = jnp.dot(E, sigma_ref[:, :], preferred_element_type=jnp.float32)
+            Ej = eall[pl.ds(j * _PAD9, _PAD9), :]               # (16,D)
+            # rows of the CURRENT Σ = Σ0 rows − accumulated U/V corrections
             A = jax.lax.dot_general(
-                E, ubuf[:, :], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (16, M*8)
-            rows9 = rows9 - jnp.dot(A, vbuf[:, :],
-                                    preferred_element_type=jnp.float32)
+                Ej, ubuf[:, :], dimension_numbers=(((1,), (1,)), ((), ())),
+                **_DOTH)                                        # (16, M*8)
+            rows9 = base[pl.ds(j * _PAD9, _PAD9), :] - jnp.dot(
+                A, vbuf[:, :], **_DOTH)
+            # own activation: += cov diag block (masked add, no matmul)
+            act_own = (row16 >= 6) & (row16 < 9) & (colD == lm + (row16 - 6))
+            rows9 = rows9 + jnp.where(act_own & add, cov16, 0.0)
+
             Hj = hsel_ref[pl.ds(j * _PAD_DIM, _PAD_DIM), :]     # (8,16)
             Gj = gsel_ref[pl.ds(j * _PAD_DIM, _PAD_DIM), :]     # (8,16)
-            Kt = jnp.dot(Gj, rows9, preferred_element_type=jnp.float32)  # (8,D)
-            Vt = jnp.dot(Hj, rows9, preferred_element_type=jnp.float32)  # (8,D)
+            Kt = jnp.dot(Gj, rows9, **_DOTH)                    # (8,D)
+            Vt = jnp.dot(Hj, rows9, **_DOTH)                    # (8,D)
 
-            # δμ = Σ_d ν_d · Ktᵀ[d,:] (dim ≤ 3; padded entries are zero)
-            delta = (
-                nu_ref[j * _PAD_DIM + 0] * Kt[0:1, :]
-                + nu_ref[j * _PAD_DIM + 1] * Kt[1:2, :]
-                + nu_ref[j * _PAD_DIM + 2] * Kt[2:3, :]
-            )                                                   # (1,D)
-            mu_new = mu_ref[:, :] + jnp.where(row8 == 0, delta, 0.0)
-            wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
-            mu_ref[:, :] = jnp.where(angle_mask, wrapped, mu_new)
-
-            ubuf[pl.ds(j * _PAD_DIM, _PAD_DIM), :] = Kt
-            vbuf[pl.ds(j * _PAD_DIM, _PAD_DIM), :] = Vt
+            # combined write: gain rows 0..2 (rows 3..7 of Kt/Vt are zero:
+            # H/G are zero-padded past dim) + activation factor rows 4..6
+            act_rows = (row8 >= 4) & (row8 < 7)
+            Ea = jnp.where(
+                act_rows & (colD8 == lm + (row8 - 4)) & add, 1.0, 0.0) * sq8
+            ubuf[pl.ds(j * _PAD_DIM, _PAD_DIM), :] = Kt - Ea
+            vbuf[pl.ds(j * _PAD_DIM, _PAD_DIM), :] = Vt + Ea
 
         return 0
 
     jax.lax.fori_loop(0, M, body, 0)
-    # one rank-(M*dim) downdate, then the single final symmetrize
-    sigma_ref[:, :] -= jax.lax.dot_general(
+
+    # δμ: one matvec over the gain rows (ν is zero on activation/pad rows)
+    delta = jax.lax.dot_general(
+        nu_ref[:, 0:1], ubuf[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
+        **_DOTH)                                                # (1,D)
+    angle_mask = (colD8 >= 3) & (colD8 < 6) & (row8 == 0)
+    mu_new = mu_in[:, :] + jnp.where(row8 == 0, delta, 0.0)
+    wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    mu_ref[:, :] = jnp.where(angle_mask, wrapped, mu_new)
+
+    # one rank-(M·8) downdate (gains + activations), one final symmetrize
+    s = sigma_in[:, :] - jax.lax.dot_general(
         ubuf[:, :], vbuf[:, :], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    s = sigma_ref[:, :]
+        **_DOTH)
     sigma_ref[:, :] = 0.5 * (s + s.T)
 
 
@@ -137,7 +187,10 @@ def sequential_update(
     add: jnp.ndarray,      # (M,) bool
     new_lm_cov: jnp.ndarray,  # (3,)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run all M sequential updates in one kernel -> (Sigma, mu)."""
+    """Run all M sequential updates in one kernel -> (Sigma, mu).
+
+    ``add`` entries must imply ``do`` (they do in the DA commit paths: an
+    add is a gated, capacity-checked new-landmark update)."""
     D = Sigma.shape[0]
     M, dim = nu_sel.shape
     f32 = jnp.float32
@@ -147,24 +200,27 @@ def sequential_update(
         out = out.at[:, :dim, :9].set(x.astype(f32))
         return out.reshape(M * _PAD_DIM, _PAD9)
 
-    nu_pad = (
-        jnp.zeros((M, _PAD_DIM), f32).at[:, :dim].set(nu_sel.astype(f32)).reshape(-1)
-    )
-    sqcov = jnp.zeros((_PAD9, 128), f32)
-    sqcov = sqcov.at[6:9, 0].set(jnp.sqrt(new_lm_cov.astype(f32)))
+    nu_col = jnp.zeros((M, _PAD_DIM, 128), f32)
+    nu_col = nu_col.at[:, :dim, 0].set(nu_sel.astype(f32))
+    nu_col = nu_col.reshape(M * _PAD_DIM, 128)
+    cov = jnp.zeros((_PAD9, 128), f32)
+    cov = cov.at[4:7, 0].set(jnp.sqrt(new_lm_cov.astype(f32)))
+    cov = cov.at[6:9, 1].set(new_lm_cov.astype(f32))
     mu_pad = jnp.zeros((8, D), f32).at[0, :].set(mu.astype(f32))
 
     sig_o, mu_o = pl.pallas_call(
         _update_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=3,
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
+                pltpu.VMEM((M * _PAD9, D), f32),
+                pltpu.VMEM((M * _PAD9, D), f32),
                 pltpu.VMEM((M * _PAD_DIM, D), f32),
                 pltpu.VMEM((M * _PAD_DIM, D), f32),
             ],
@@ -177,11 +233,265 @@ def sequential_update(
         lm_ix.astype(jnp.int32),
         do.astype(jnp.int32),
         add.astype(jnp.int32),
-        nu_pad,
         Sigma.astype(f32),
         mu_pad,
         pad(H_sel),
         pad(SinvH),
-        sqcov,
+        cov,
+        nu_col,
     )
     return sig_o, mu_o[0, :]
+
+
+# ===========================================================================
+# fleet variant: MB missions per grid step (explicit instruction parallelism)
+# ===========================================================================
+#
+# vmapping ``sequential_update`` gives one mission per grid step: each step
+# is ONE serial dependency chain of ~34 small MXU/VPU ops, so the whole
+# call is bound by per-instruction latency (measured 759 us at fleet-128).
+# Processing MB=4 independent missions inside one grid step gives the
+# scheduler 4 independent chains to interleave — same math, same VMEM
+# residency rules (4 Sigmas <= 630 KB at L=64).
+
+
+def _make_update_kernel_fleet(MB: int, predict: bool = False):
+    def kernel(lmix_all, do_all, add_all,      # (G, MB, M) SMEM (prefetch
+               sigma_in,                       #   args arrive un-blocked)
+                                               # (MB, D, D)
+               mu_in,                          # (MB, 8, D)
+               ghsel_ref,                      # (MB, M*16, 16): per meas.
+                                               #   rows 0..7 G, 8..15 H
+               cov_ref,                        # (16, 128)
+               nu_ref,                         # (MB, M*8, 128)
+               *rest):                         # [a8_ref,] outs, scratch
+        if predict:
+            a8_ref, sigma_ref, mu_ref, eall, base, ubuf, vbuf = rest
+        else:
+            sigma_ref, mu_ref, eall, base, ubuf, vbuf = rest
+        g = pl.program_id(0)
+
+        def lmix_of(b, m):
+            return lmix_all[g, b, m]
+
+        D = sigma_in.shape[2]
+        M = lmix_all.shape[2]
+        row16 = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 0)
+        colD = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 1)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, D), 0)
+        colD8 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, D), 1)
+        cv8 = cov_ref[0:_PAD_DIM, 0:1]       # rows 4..6 = new_lm_cov
+        cov16 = cov_ref[:, 1:2]
+
+        if predict:
+            # in-kernel motion predict: Σ' = Ã Σ Ãᵀ + R̃·valid with
+            # Ã = blockdiag(A8, I). Only the first 8 rows/cols change; the
+            # spreads run as one-hot matmuls so no partial-lane stores are
+            # needed, and an identity A8 (invalid odom) reproduces Σ
+            # bitwise (single-term MXU sums are exact). This keeps every
+            # per-tick Σ mutation inside the kernels — the XLA-side
+            # dynamic-update-slice writes measured 430+ us/tick of full-Σ
+            # copies on the fleet carry.
+            rowDD = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+            colDD = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+            E8 = jnp.where(row8 == colD8, 1.0, 0.0)          # (8,D) one-hot
+            for b in range(MB):
+                a8b = a8_ref[b][:, 0:8]                       # (8,8)
+                rcol = a8_ref[b][:, 8:9]                      # (8,1) r·valid
+                # W[k,c] = A8[c,k] for c<8 else 0  (A8ᵀ spread to (8,D))
+                W = jax.lax.dot_general(
+                    a8b, E8, dimension_numbers=(((0,), (0,)), ((), ())),
+                    **_DOTH)
+                S1 = jnp.where(
+                    colDD < 8,
+                    jnp.dot(sigma_in[b][:, 0:8], W, **_DOTH),
+                    sigma_in[b][:, :])                        # cols pass
+                top = jnp.dot(a8b, S1[0:8, :], **_DOTH)       # rows pass
+                top = top + jnp.where(row8 == colD8, rcol, 0.0)
+                sigma_ref[b, :, :] = jnp.where(
+                    rowDD < 8,
+                    jax.lax.dot_general(
+                        E8, top, dimension_numbers=(((0,), (0,)), ((), ())),
+                        **_DOTH),
+                    S1)
+
+        def sig0(b):
+            return sigma_ref[b] if predict else sigma_in[b]
+
+        for b in range(MB):
+            for m in range(M):
+                lm = lmix_of(b, m)
+                sel = jnp.where(row16 < 6, row16, lm + (row16 - 6))
+                E = jnp.where((colD == sel) & (row16 < 9), 1.0, 0.0)
+                eall[b, m * _PAD9:(m + 1) * _PAD9, :] = E
+        ubuf[:, :, :] = jnp.zeros_like(ubuf)
+        vbuf[:, :, :] = jnp.zeros_like(vbuf)
+
+        for b in range(MB):
+            sig3 = _split3(sig0(b))
+            base[b, :, :] = _onehot_dot(
+                eall[b].astype(jnp.bfloat16), sig3, (((1,), (0,)), ((), ())))
+
+        # STATIC unroll over measurements: j static makes the A-chain
+        # TRIANGULAR (iteration j only contracts the j·8 factor rows that
+        # exist yet — j=0 skips the correction entirely), and the stacked
+        # [G;H] operand computes Kt and Vt in one matmul
+        for j in range(M):
+            for b in range(MB):
+                do = do_all[g, b, j] != 0
+                add = add_all[g, b, j] != 0
+                lm = lmix_of(b, j)
+
+                @pl.when(do)
+                def _(b=b, j=j, lm=lm, add=add):
+                    rows9 = base[b, j * _PAD9:(j + 1) * _PAD9, :]
+                    if j > 0:
+                        Ej = eall[b, j * _PAD9:(j + 1) * _PAD9, :]
+                        A = jax.lax.dot_general(
+                            Ej, ubuf[b, 0:j * _PAD_DIM, :],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            **_DOTH)                     # (16, j*8)
+                        rows9 = rows9 - jnp.dot(
+                            A, vbuf[b, 0:j * _PAD_DIM, :], **_DOTH)
+                    act_own = ((row16 >= 6) & (row16 < 9)
+                               & (colD == lm + (row16 - 6)))
+                    rows9 = rows9 + jnp.where(act_own & add, cov16, 0.0)
+                    GH = ghsel_ref[b, _PAD9 * j:_PAD9 * (j + 1), :]
+                    KV = jnp.dot(GH, rows9, **_DOTH)     # (16,D): Kt;Vt
+                    # asymmetric activation factors: u row = -E (unit
+                    # one-hot), v row = +cov.E — each factor ROW is an
+                    # independent rank-1 outer product, so Sigma still
+                    # gets +cov.E'E, and the unit u row makes the cand
+                    # mu-init in the end matvec exact (cand * 1)
+                    act_rows = (row8 >= 4) & (row8 < 7)
+                    E1 = jnp.where(
+                        act_rows & (colD8 == lm + (row8 - 4)) & add,
+                        1.0, 0.0)
+                    ubuf[b, j * _PAD_DIM:(j + 1) * _PAD_DIM, :] = (
+                        KV[0:_PAD_DIM] - E1)
+                    vbuf[b, j * _PAD_DIM:(j + 1) * _PAD_DIM, :] = (
+                        KV[_PAD_DIM:2 * _PAD_DIM] + E1 * cv8)
+
+        angle_mask = (colD8 >= 3) & (colD8 < 6) & (row8 == 0)
+        for b in range(MB):
+            delta = jax.lax.dot_general(
+                nu_ref[b][:, 0:1], ubuf[b],
+                dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+            mu_new = mu_in[b] + jnp.where(row8 == 0, delta, 0.0)
+            wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+            mu_ref[b, :, :] = jnp.where(angle_mask, wrapped, mu_new)
+            s = sig0(b) - jax.lax.dot_general(
+                ubuf[b], vbuf[b],
+                dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+            sigma_ref[b, :, :] = 0.5 * (s + s.T)
+
+    return kernel
+
+
+@jax.jit
+def sequential_update_fleet(
+    Sigma: jnp.ndarray,    # (B, D, D)
+    mu: jnp.ndarray,       # (B, D)
+    H_sel: jnp.ndarray,    # (B, M, dim, 9)
+    SinvH: jnp.ndarray,    # (B, M, dim, 9)
+    nu_sel: jnp.ndarray,   # (B, M, dim)
+    lm_ix: jnp.ndarray,    # (B, M) int32
+    do: jnp.ndarray,       # (B, M) bool
+    add: jnp.ndarray,      # (B, M) bool
+    new_lm_cov: jnp.ndarray,  # (3,)
+    cand: jnp.ndarray = None,  # (B, M, 3) new-landmark positions (optional)
+    a8: jnp.ndarray = None,    # (B, 8, 16): cols 0:8 = Ã8 (motion Jacobian
+                               #   blockdiag(A6, I2)), col 8 = r_diag·valid
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fleet-batched sequential update: same math as ``sequential_update``
+    per mission, MB missions per grid step for instruction parallelism.
+
+    When ``cand`` is given, added landmarks' μ rows are initialised
+    in-kernel: the activation factor rows of ubuf are −E_lm (unit), so
+    loading ν's activation rows with −candᵢ makes the end-of-loop δμ
+    matvec contribute +candᵢ exactly on the landmark columns (the
+    inactive-slot μ rows are zero by invariant, so add == set).
+
+    When ``a8`` is given, the motion predict's Σ transform
+    (Σ' = Ã Σ Ãᵀ + R̃, ``ekf_slam_core.cpp:41-121``) runs in-kernel before
+    the update loop, so no XLA op ever writes the full Σ (the slab
+    dynamic-update-slices cost 400+ us/tick of whole-Σ copies)."""
+    B, D = Sigma.shape[0], Sigma.shape[1]
+    M, dim = nu_sel.shape[1], nu_sel.shape[2]
+    f32 = jnp.float32
+    # VMEM-aware mission block: grid in/out blocks are DOUBLE-buffered
+    # (2x Σin + 2x Σout + small ins/outs) + single-buffered scratch, all
+    # within the ~16 MB VMEM (L=64 -> MB=8; L=256 -> MB=1)
+    per_mission = 4 * (
+        2 * 2 * (D * D + 8 * D)                        # Σ/μ in+out, x2 buf
+        + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)  # gh/nu in, x2 buf
+        + 2 * M * _PAD9 * D + 2 * M * _PAD_DIM * D)     # scratch
+    MB = 1
+    for cand_mb in (8, 4, 2):
+        if B % cand_mb == 0 and cand_mb * per_mission <= 14 * 2 ** 20:
+            MB = cand_mb
+            break
+    G = B // MB
+
+    # stacked [G;H] blocks: rows 0..7 = S⁻¹H (gain operand), 8..15 = H
+    gh = jnp.zeros((B, M, _PAD9, _PAD9), f32)
+    gh = gh.at[:, :, :dim, :9].set(SinvH.astype(f32))
+    gh = gh.at[:, :, _PAD_DIM:_PAD_DIM + dim, :9].set(H_sel.astype(f32))
+    gh = gh.reshape(B, M * _PAD9, _PAD9)
+
+    nu_col = jnp.zeros((B, M, _PAD_DIM, 128), f32)
+    nu_col = nu_col.at[:, :, :dim, 0].set(nu_sel.astype(f32))
+    if cand is not None:
+        nu_col = nu_col.at[:, :, 4:7, 0].set(
+            jnp.where(add[:, :, None], -cand.astype(f32), 0.0))
+    nu_col = nu_col.reshape(B, M * _PAD_DIM, 128)
+    cov = jnp.zeros((_PAD9, 128), f32)
+    cov = cov.at[4:7, 0].set(new_lm_cov.astype(f32))
+    cov = cov.at[6:9, 1].set(new_lm_cov.astype(f32))
+    mu_pad = jnp.zeros((B, 8, D), f32).at[:, 0, :].set(mu.astype(f32))
+
+    predict = a8 is not None
+    in_specs = [
+        pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, M * _PAD9, _PAD9), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((_PAD9, 128), lambda g, *_: (0, 0)),
+        pl.BlockSpec((MB, M * _PAD_DIM, 128), lambda g, *_: (g, 0, 0)),
+    ]
+    args = [
+        lm_ix.astype(jnp.int32).reshape(G, MB, M),
+        do.astype(jnp.int32).reshape(G, MB, M),
+        add.astype(jnp.int32).reshape(G, MB, M),
+        Sigma.astype(f32),
+        mu_pad,
+        gh,
+        cov,
+        nu_col,
+    ]
+    if predict:
+        in_specs.append(pl.BlockSpec((MB, 8, 16), lambda g, *_: (g, 0, 0)))
+        args.append(a8.astype(f32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((MB, M * _PAD9, D), f32),
+            pltpu.VMEM((MB, M * _PAD9, D), f32),
+            pltpu.VMEM((MB, M * _PAD_DIM, D), f32),
+            pltpu.VMEM((MB, M * _PAD_DIM, D), f32),
+        ],
+    )
+    sig_o, mu_o = pl.pallas_call(
+        _make_update_kernel_fleet(MB, predict=predict),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D, D), f32),
+            jax.ShapeDtypeStruct((B, 8, D), f32),
+        ],
+    )(*args)
+    return sig_o, mu_o[:, 0, :]
