@@ -722,13 +722,13 @@ def commit_preselected(st: SlamState, H_sel, SinvH, nu_sel, cand, do, add,
 
 def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
                   cfg: EKFSlamConfig, sensor: SensorSpec = None,
-                  A=None, valid=None):
+                  a8=None, valid=None):
     """Fleet DA pass (MBES or FLS): in-lanes DA kernel + fleet update
     kernel. state_b is a batched SlamState; z_b (B, M, 3), mask_b (B, M).
 
-    With ``A``/``valid`` given, state_b.Sigma is the RAW (pre-predict)
-    covariance and both kernels apply the motion predict to what they
-    read — Σ is never written by an XLA op."""
+    With ``a8``/``valid`` given (see ``_fleet_predict``), state_b.Sigma is
+    the RAW (pre-predict) covariance and both kernels apply the motion
+    predict to what they read — Σ is never written by an XLA op."""
     from ..ops import slam_da_kernels
 
     sensor = MBES if sensor is None else sensor
@@ -738,7 +738,8 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
         kind, r_sb, t_sb = "fls", params.r_fls_base, params.t_fls_base
     else:
         kind, r_sb, t_sb = "mbes", None, None
-    r_diag = jnp.diagonal(params.R) if A is not None else None
+    A = a8[:, 0:6, 0:6] if a8 is not None else None
+    r_diag = jnp.diagonal(params.R) if a8 is not None else None
     ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = slam_da_kernels.da_lanes(
         state_b.mu[:, 0:6], state_b.n_active, state_b.active,
         state_b.mu[:, 6:].reshape(B, L, 3), state_b.Sigma,
@@ -759,15 +760,6 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
     active = jax.vmap(lambda a, ad, sl: a.at[jnp.where(ad, sl, L)].set(
         True, mode="drop"))(state_b.active, add, slot)
     n_active = state_b.n_active + jnp.sum(add, axis=1)
-    a8 = None
-    if A is not None:
-        a8 = jnp.zeros((B, 8, 16), f32)
-        a8 = a8.at[:, 0:6, 0:6].set(A.astype(f32))
-        a8 = a8.at[:, 6, 6].set(1.0)
-        a8 = a8.at[:, 7, 7].set(1.0)
-        a8 = a8.at[:, 0:6, 8].set(
-            jnp.diagonal(params.R).astype(f32)[None, :]
-            * valid.astype(f32)[:, None])
     Sigma, mu_b = slam_kernels.sequential_update_fleet(
         state_b.Sigma, state_b.mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
         jnp.asarray(sensor.new_lm_cov, f32), cand, a8)
@@ -784,13 +776,15 @@ def _fleet_predict(state_b: SlamState, odom_pose: jnp.ndarray,
     the exact identity so A Σ Aᵀ reproduces Σ bitwise, R gated to zero,
     attitude kept).
 
-    Returns ``(state, A)``. By default Σ is left UNTOUCHED and the
-    identity-gated motion Jacobian A (B,6,6) is returned for the DA/update
-    kernels to apply in VMEM — XLA-side full-Σ slab writes measured 400+
-    us/tick of whole-Σ copies on the fleet carry (docs/ROOFLINE.md). With
+    Returns ``(state, a8)``. By default Σ is left UNTOUCHED and the
+    identity-gated motion Jacobian is returned as the packed a8 (B,8,16)
+    block (cols 0:8 = blockdiag(A6, I2), col 8 = r_diag·valid) for the
+    DA/update kernels to apply in VMEM — XLA-side full-Σ slab writes
+    measured 400+ us/tick of whole-Σ copies on the fleet carry
+    (docs/ROOFLINE.md), and even small (B,8,16) dynamic-update-slices cost
+    ~13-26 us each, so a8 is built with one pad + one where. With
     ``sigma_in_xla=True`` (no event pass this tick to carry the
-    transform), Σ is predicted here and A comes back None."""
-    B = state_b.mu.shape[0]
+    transform), Σ is predicted here and a8 comes back None."""
     dt = state_b.mu.dtype
     v1 = valid.astype(dt)[:, None]
     u_t = (odom_pose[:, 0:3] - state_b.mu_auv_odom) * v1
@@ -801,27 +795,32 @@ def _fleet_predict(state_b: SlamState, odom_pose: jnp.ndarray,
 
     g = jax.vmap(lambda a, u: jax.jacfwd(
         lambda x: rotmat_from_rpy(x) @ u)(a))(att, u_t)          # (B,3,3)
-    eye3 = jnp.eye(3, dtype=dt)
-    A = jnp.zeros((B, 6, 6), dt)
-    A = A.at[:, 0:3, 0:3].set(eye3)
-    A = A.at[:, 0:3, 3:6].set(g)
-    A = jnp.where(valid[:, None, None], A, jnp.eye(6, dtype=dt))
+    # constants (folded at compile): C1 = identity pattern + r_diag col,
+    # C2 = the exact 8-identity for invalid-odom lanes
+    c1 = jnp.zeros((8, 16), dt)
+    c1 = c1.at[jnp.arange(3), jnp.arange(3)].set(1.0)
+    c1 = c1.at[jnp.arange(6, 8), jnp.arange(6, 8)].set(1.0)
+    c1 = c1.at[0:6, 8].set(jnp.diagonal(params.R).astype(dt))
+    c2 = jnp.zeros((8, 16), dt).at[jnp.arange(8), jnp.arange(8)].set(1.0)
+    a8 = jnp.where(valid[:, None, None],
+                   jnp.pad(g, ((0, 0), (0, 5), (3, 10))) + c1, c2)
 
     Sigma = state_b.Sigma
     if sigma_in_xla:
         S = state_b.Sigma
+        A = a8[:, 0:6, 0:6]
         S11 = (jnp.einsum("bij,bjk,blk->bil", A, S[:, 0:6, 0:6], A)
                + params.R * v1[:, :, None])
         S1L = jnp.einsum("bij,bjk->bik", A, S[:, 0:6, 6:])
         Sigma = S.at[:, 0:6, 0:6].set(S11)
         Sigma = Sigma.at[:, 0:6, 6:].set(S1L)
         Sigma = Sigma.at[:, 6:, 0:6].set(jnp.swapaxes(S1L, 1, 2))
-        A = None
+        a8 = None
     return SlamState(
         mu=mu, Sigma=Sigma, active=state_b.active,
         n_active=state_b.n_active,
         mu_auv_odom=state_b.mu_auv_odom + u_t,
-    ), A
+    ), a8
 
 
 def run_fleet(
@@ -865,23 +864,23 @@ def run_fleet(
         # The predict's Σ transform rides the FIRST event pass's kernels
         # (A below); Σ is never written by an XLA op on this path.
         have_events = ("mbes" in tick_b.events) or ("fls" in tick_b.events)
-        st, A = _fleet_predict(state_b, odom_pose, odom.valid, params,
-                               sigma_in_xla=not have_events)
+        st, a8 = _fleet_predict(state_b, odom_pose, odom.valid, params,
+                                sigma_in_xla=not have_events)
 
         out = {}
         if "mbes" in tick_b.events:
             ev = tick_b.events["mbes"]
             st, matched = da_lanes_pass(
                 st, ev.value, ev.mask & odom.valid[:, None], params, cfg,
-                A=A, valid=odom.valid)
-            A = None
+                a8=a8, valid=odom.valid)
+            a8 = None
             out["matched_mbes"] = matched
         if "fls" in tick_b.events:
             evf = tick_b.events["fls"]
             st, matched_f = da_lanes_pass(
                 st, evf.value, evf.mask & odom.valid[:, None], params, cfg,
-                FLS, A=A, valid=odom.valid if A is not None else None)
-            A = None
+                FLS, a8=a8, valid=odom.valid if a8 is not None else None)
+            a8 = None
             out["matched_fls"] = matched_f
 
         out["mu"] = st.mu[:, 0:6]

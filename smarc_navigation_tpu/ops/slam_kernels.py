@@ -28,6 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PAD_DIM = 8    # measurement dim (2/3) padded to the sublane tile
 _PAD9 = 16      # the 9-wide (pose+lm) index set padded to 16 sublanes
+_PRED_ROWS = 24  # factor rows reserved for the in-kernel motion predict
+#                  (3x 8-row blocks: B·V3, V3ᵀ·Bᵀ, diag-R)
 
 # General (value x value) matmuls need the 6-pass f32 emulation — bf16 MXU
 # passes corrupt covariance updates (CLAUDE.md). One-hot SELECTION matmuls
@@ -283,40 +285,7 @@ def _make_update_kernel_fleet(MB: int, predict: bool = False):
         cv8 = cov_ref[0:_PAD_DIM, 0:1]       # rows 4..6 = new_lm_cov
         cov16 = cov_ref[:, 1:2]
 
-        if predict:
-            # in-kernel motion predict: Σ' = Ã Σ Ãᵀ + R̃·valid with
-            # Ã = blockdiag(A8, I). Only the first 8 rows/cols change; the
-            # spreads run as one-hot matmuls so no partial-lane stores are
-            # needed, and an identity A8 (invalid odom) reproduces Σ
-            # bitwise (single-term MXU sums are exact). This keeps every
-            # per-tick Σ mutation inside the kernels — the XLA-side
-            # dynamic-update-slice writes measured 430+ us/tick of full-Σ
-            # copies on the fleet carry.
-            rowDD = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
-            colDD = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
-            E8 = jnp.where(row8 == colD8, 1.0, 0.0)          # (8,D) one-hot
-            for b in range(MB):
-                a8b = a8_ref[b][:, 0:8]                       # (8,8)
-                rcol = a8_ref[b][:, 8:9]                      # (8,1) r·valid
-                # W[k,c] = A8[c,k] for c<8 else 0  (A8ᵀ spread to (8,D))
-                W = jax.lax.dot_general(
-                    a8b, E8, dimension_numbers=(((0,), (0,)), ((), ())),
-                    **_DOTH)
-                S1 = jnp.where(
-                    colDD < 8,
-                    jnp.dot(sigma_in[b][:, 0:8], W, **_DOTH),
-                    sigma_in[b][:, :])                        # cols pass
-                top = jnp.dot(a8b, S1[0:8, :], **_DOTH)       # rows pass
-                top = top + jnp.where(row8 == colD8, rcol, 0.0)
-                sigma_ref[b, :, :] = jnp.where(
-                    rowDD < 8,
-                    jax.lax.dot_general(
-                        E8, top, dimension_numbers=(((0,), (0,)), ((), ())),
-                        **_DOTH),
-                    S1)
-
-        def sig0(b):
-            return sigma_ref[b] if predict else sigma_in[b]
+        POFF = _PRED_ROWS if predict else 0
 
         for b in range(MB):
             for m in range(M):
@@ -327,8 +296,53 @@ def _make_update_kernel_fleet(MB: int, predict: bool = False):
         ubuf[:, :, :] = jnp.zeros_like(ubuf)
         vbuf[:, :, :] = jnp.zeros_like(vbuf)
 
+        if predict:
+            # in-kernel motion predict AS FACTOR ROWS: Ã = I + N with
+            # N = B·C rank-3 (B = (Ã−I) cols 3:6, C = rows-3:6 selector),
+            # so Σ' = Σ + B·T + TᵀBᵀ + B·S33·Bᵀ + R̃·valid (T = Σ rows
+            # 3:6, S33 = T cols 3:6). That is a rank-≤12 symmetric update
+            # riding the SAME U/V buffers as the measurement downdates —
+            # rows [0:24): block0 (−Bt, V3), block1 (−V3, Bt),
+            # block2 (−r·E_diag, E_diag), with V3 = T + ½·S33·Bt. Every
+            # later consumer (A-chain row corrections, final downdate)
+            # picks the predict up automatically; nothing materializes a
+            # (D,D) intermediate, and an identity Ã (invalid odom) gives
+            # all-zero u or v rows -> bit-exact no-op. XLA-side slab
+            # writes of the predicted Σ measured 430+ us/tick of full-Σ
+            # copies on the fleet carry; the earlier in-kernel (D,D)
+            # spread version still cost ~135 us/call.
+            i8 = jnp.where(row8 == colD8, 1.0, 0.0)          # (8,D) one-hot
+            r88 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, _PAD_DIM), 0)
+            c88 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, _PAD_DIM), 1)
+            i88 = jnp.where(r88 == c88, 1.0, 0.0)
+            for b in range(MB):
+                a8b = a8_ref[b][:, 0:_PAD_DIM]               # (8,8)
+                rcol = a8_ref[b][:, _PAD_DIM:_PAD_DIM + 1]   # (8,1) r·valid
+                n8 = a8b - i88                               # Ã − I
+                n8 = jnp.where((c88 >= 3) & (c88 < 6), n8, 0.0)  # keep B cols
+                # Bt rows 3:6 = Bᵀ (row 3+c holds B[:,3+c] of Ã−I)
+                bt8 = jax.lax.dot_general(
+                    n8, i8, dimension_numbers=(((0,), (0,)), ((), ())),
+                    **_DOTH)                                 # (8,D)
+                t8 = sigma_in[b][0:8, :]                     # Σ rows 0:8
+                # rows 3:6 of Σ shifted onto themselves: T lives at 3:6
+                tmask = (row8 >= 3) & (row8 < 6)
+                t8 = jnp.where(tmask, t8, 0.0)
+                # S33 in an (8,8) frame: S33[c,c'] at rows/cols 3:6
+                s33 = jax.lax.dot_general(
+                    t8, i8, dimension_numbers=(((1,), (1,)), ((), ())),
+                    **_DOTH)                                 # (8,8)
+                v3 = t8 + 0.5 * jnp.dot(s33, bt8, **_DOTH)   # (8,D)
+                ubuf[b, 0:_PAD_DIM, :] = -bt8
+                vbuf[b, 0:_PAD_DIM, :] = v3
+                ubuf[b, _PAD_DIM:2 * _PAD_DIM, :] = -v3
+                vbuf[b, _PAD_DIM:2 * _PAD_DIM, :] = bt8
+                ediag = jnp.where((row8 == colD8) & (row8 < 6), 1.0, 0.0)
+                ubuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = -rcol * ediag
+                vbuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = ediag
+
         for b in range(MB):
-            sig3 = _split3(sig0(b))
+            sig3 = _split3(sigma_in[b])
             base[b, :, :] = _onehot_dot(
                 eall[b].astype(jnp.bfloat16), sig3, (((1,), (0,)), ((), ())))
 
@@ -345,14 +359,14 @@ def _make_update_kernel_fleet(MB: int, predict: bool = False):
                 @pl.when(do)
                 def _(b=b, j=j, lm=lm, add=add):
                     rows9 = base[b, j * _PAD9:(j + 1) * _PAD9, :]
-                    if j > 0:
+                    if POFF + j > 0:
                         Ej = eall[b, j * _PAD9:(j + 1) * _PAD9, :]
                         A = jax.lax.dot_general(
-                            Ej, ubuf[b, 0:j * _PAD_DIM, :],
+                            Ej, ubuf[b, 0:POFF + j * _PAD_DIM, :],
                             dimension_numbers=(((1,), (1,)), ((), ())),
-                            **_DOTH)                     # (16, j*8)
+                            **_DOTH)                     # (16, POFF+j*8)
                         rows9 = rows9 - jnp.dot(
-                            A, vbuf[b, 0:j * _PAD_DIM, :], **_DOTH)
+                            A, vbuf[b, 0:POFF + j * _PAD_DIM, :], **_DOTH)
                     act_own = ((row16 >= 6) & (row16 < 9)
                                & (colD == lm + (row16 - 6)))
                     rows9 = rows9 + jnp.where(act_own & add, cov16, 0.0)
@@ -367,20 +381,20 @@ def _make_update_kernel_fleet(MB: int, predict: bool = False):
                     E1 = jnp.where(
                         act_rows & (colD8 == lm + (row8 - 4)) & add,
                         1.0, 0.0)
-                    ubuf[b, j * _PAD_DIM:(j + 1) * _PAD_DIM, :] = (
-                        KV[0:_PAD_DIM] - E1)
-                    vbuf[b, j * _PAD_DIM:(j + 1) * _PAD_DIM, :] = (
+                    o = POFF + j * _PAD_DIM
+                    ubuf[b, o:o + _PAD_DIM, :] = KV[0:_PAD_DIM] - E1
+                    vbuf[b, o:o + _PAD_DIM, :] = (
                         KV[_PAD_DIM:2 * _PAD_DIM] + E1 * cv8)
 
         angle_mask = (colD8 >= 3) & (colD8 < 6) & (row8 == 0)
         for b in range(MB):
             delta = jax.lax.dot_general(
-                nu_ref[b][:, 0:1], ubuf[b],
+                nu_ref[b][:, 0:1], ubuf[b, POFF:, :],
                 dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
             mu_new = mu_in[b] + jnp.where(row8 == 0, delta, 0.0)
             wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
             mu_ref[b, :, :] = jnp.where(angle_mask, wrapped, mu_new)
-            s = sig0(b) - jax.lax.dot_general(
+            s = sigma_in[b] - jax.lax.dot_general(
                 ubuf[b], vbuf[b],
                 dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
             sigma_ref[b, :, :] = 0.5 * (s + s.T)
@@ -425,7 +439,8 @@ def sequential_update_fleet(
     per_mission = 4 * (
         2 * 2 * (D * D + 8 * D)                        # Σ/μ in+out, x2 buf
         + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)  # gh/nu in, x2 buf
-        + 2 * M * _PAD9 * D + 2 * M * _PAD_DIM * D)     # scratch
+        + 2 * M * _PAD9 * D
+        + 2 * (_PRED_ROWS + M * _PAD_DIM) * D)          # scratch
     MB = 1
     for cand_mb in (8, 4, 2):
         if B % cand_mb == 0 and cand_mb * per_mission <= 14 * 2 ** 20:
@@ -451,6 +466,7 @@ def sequential_update_fleet(
     mu_pad = jnp.zeros((B, 8, D), f32).at[:, 0, :].set(mu.astype(f32))
 
     predict = a8 is not None
+    poff = _PRED_ROWS if predict else 0
     in_specs = [
         pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
@@ -482,8 +498,8 @@ def sequential_update_fleet(
         scratch_shapes=[
             pltpu.VMEM((MB, M * _PAD9, D), f32),
             pltpu.VMEM((MB, M * _PAD9, D), f32),
-            pltpu.VMEM((MB, M * _PAD_DIM, D), f32),
-            pltpu.VMEM((MB, M * _PAD_DIM, D), f32),
+            pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
+            pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
         ],
     )
     sig_o, mu_o = pl.pallas_call(
