@@ -257,10 +257,13 @@ def sequential_update(
 # residency rules (4 Sigmas <= 630 KB at L=64).
 
 
-def _make_update_kernel_fleet(MB: int, predict: bool = False):
-    def kernel(lmix_all, do_all, add_all,      # (G, MB, M) SMEM (prefetch
-               sigma_in,                       #   args arrive un-blocked)
-                                               # (MB, D, D)
+def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False):
+    def kernel(pk_all,                         # (G, MB*M) int32 SMEM packed
+               #   prefetch: lm_ix | do<<14 | add<<15 — ONE flat array
+               #   because each prefetched SMEM operand's minor dims are
+               #   padded to (8,128) tiles: three (G,MB,M) operands cost
+               #   3*G*MB*512 B and blow the 1 MB SMEM at B=1024 (measured)
+               sigma_in,                       # (MB, D, D)
                mu_in,                          # (MB, 8, D)
                ghsel_ref,                      # (MB, M*16, 16): per meas.
                                                #   rows 0..7 G, 8..15 H
@@ -274,10 +277,15 @@ def _make_update_kernel_fleet(MB: int, predict: bool = False):
         g = pl.program_id(0)
 
         def lmix_of(b, m):
-            return lmix_all[g, b, m]
+            return pk_all[g, b * M + m] & 0x3FFF
+
+        def do_of(b, m):
+            return (pk_all[g, b * M + m] >> 14) & 1
+
+        def add_of(b, m):
+            return pk_all[g, b * M + m] >> 15
 
         D = sigma_in.shape[2]
-        M = lmix_all.shape[2]
         row16 = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 0)
         colD = jax.lax.broadcasted_iota(jnp.int32, (_PAD9, D), 1)
         row8 = jax.lax.broadcasted_iota(jnp.int32, (_PAD_DIM, D), 0)
@@ -352,8 +360,8 @@ def _make_update_kernel_fleet(MB: int, predict: bool = False):
         # [G;H] operand computes Kt and Vt in one matmul
         for j in range(M):
             for b in range(MB):
-                do = do_all[g, b, j] != 0
-                add = add_all[g, b, j] != 0
+                do = do_of(b, j) != 0
+                add = add_of(b, j) != 0
                 lm = lmix_of(b, j)
 
                 @pl.when(do)
@@ -474,10 +482,13 @@ def sequential_update_fleet(
         pl.BlockSpec((_PAD9, 128), lambda g, *_: (0, 0)),
         pl.BlockSpec((MB, M * _PAD_DIM, 128), lambda g, *_: (g, 0, 0)),
     ]
+    packed = (
+        lm_ix.astype(jnp.int32)
+        | (do.astype(jnp.int32) << 14)
+        | (add.astype(jnp.int32) << 15)
+    )
     args = [
-        lm_ix.astype(jnp.int32).reshape(G, MB, M),
-        do.astype(jnp.int32).reshape(G, MB, M),
-        add.astype(jnp.int32).reshape(G, MB, M),
+        packed.reshape(G, MB * M),
         Sigma.astype(f32),
         mu_pad,
         gh,
@@ -488,7 +499,7 @@ def sequential_update_fleet(
         in_specs.append(pl.BlockSpec((MB, 8, 16), lambda g, *_: (g, 0, 0)))
         args.append(a8.astype(f32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(G,),
         in_specs=in_specs,
         out_specs=[
@@ -503,7 +514,7 @@ def sequential_update_fleet(
         ],
     )
     sig_o, mu_o = pl.pallas_call(
-        _make_update_kernel_fleet(MB, predict=predict),
+        _make_update_kernel_fleet(MB, M, predict=predict),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, D, D), f32),
