@@ -722,13 +722,18 @@ def commit_preselected(st: SlamState, H_sel, SinvH, nu_sel, cand, do, add,
 
 def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
                   cfg: EKFSlamConfig, sensor: SensorSpec = None,
-                  a8=None, valid=None):
+                  a8=None, valid=None, band=None):
     """Fleet DA pass (MBES or FLS): in-lanes DA kernel + fleet update
     kernel. state_b is a batched SlamState; z_b (B, M, 3), mask_b (B, M).
 
     With ``a8``/``valid`` given (see ``_fleet_predict``), state_b.Sigma is
     the RAW (pre-predict) covariance and both kernels apply the motion
-    predict to what they read — Σ is never written by an XLA op."""
+    predict to what they read — Σ is never written by an XLA op.
+
+    With ``band`` (B, 24, L) given, the DA kernel's Σ landmark block-diag
+    slab is built from the carried band instead of gathered from the full
+    Σ, and the update kernel maintains the band; the return gains a third
+    element (the updated band)."""
     from ..ops import slam_da_kernels
 
     sensor = MBES if sensor is None else sensor
@@ -747,7 +752,7 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
         jnp.diagonal(sensor.q(params)), sensor.lam(params),
         cfg.outlier_cost, sensor.mh_dist(cfg), jnp.asarray(sensor.new_lm_cov),
         sensor=kind, r_sb=r_sb, t_sb=t_sb,
-        A=A, valid=valid, r_diag=r_diag,
+        A=A, valid=valid, r_diag=r_diag, band=band,
     )
     from ..ops import slam_kernels
 
@@ -760,12 +765,16 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
     active = jax.vmap(lambda a, ad, sl: a.at[jnp.where(ad, sl, L)].set(
         True, mode="drop"))(state_b.active, add, slot)
     n_active = state_b.n_active + jnp.sum(add, axis=1)
-    Sigma, mu_b = slam_kernels.sequential_update_fleet(
+    upd = slam_kernels.sequential_update_fleet(
         state_b.Sigma, state_b.mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
-        jnp.asarray(sensor.new_lm_cov, f32), cand, a8)
+        jnp.asarray(sensor.new_lm_cov, f32), cand, a8, band)
+    Sigma, mu_b = upd[0], upd[1]
     matched = jnp.where(do, slot, -1)
-    return SlamState(mu=mu_b, Sigma=Sigma, active=active, n_active=n_active,
-                     mu_auv_odom=state_b.mu_auv_odom), matched
+    new_state = SlamState(mu=mu_b, Sigma=Sigma, active=active,
+                          n_active=n_active, mu_auv_odom=state_b.mu_auv_odom)
+    if band is not None:
+        return new_state, matched, upd[2]
+    return new_state, matched
 
 
 def _fleet_predict(state_b: SlamState, odom_pose: jnp.ndarray,
@@ -847,8 +856,20 @@ def run_fleet(
     s0 = init_state(cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+    # landmark block-diag band carry (see slam_kernels.sequential_update_
+    # fleet): built once from Σ0 here, then maintained in-kernel — the DA
+    # stage never gathers the block diagonal from the full Σ again
+    D = 6 + 3 * L
+    la = 6 + 3 * jnp.arange(L)
+    band0 = jnp.zeros((24, L), s0.Sigma.dtype)
+    for a in range(3):
+        for d in range(3):
+            band0 = band0.at[a * 8 + d].set(
+                s0.Sigma[la + a, jnp.minimum(la + a + d, D - 1)])
+    band0_b = jnp.broadcast_to(band0, (B, 24, L))
 
-    def body(state_b, tick_b):
+    def body(carry, tick_b):
+        state_b, band = carry
         odom = tick_b.channels["odom"]
         if odom.value.shape[-1] >= 13:
             from ..utils.geometry import rpy_from_quat
@@ -870,24 +891,25 @@ def run_fleet(
         out = {}
         if "mbes" in tick_b.events:
             ev = tick_b.events["mbes"]
-            st, matched = da_lanes_pass(
+            st, matched, band = da_lanes_pass(
                 st, ev.value, ev.mask & odom.valid[:, None], params, cfg,
-                a8=a8, valid=odom.valid)
+                a8=a8, valid=odom.valid, band=band)
             a8 = None
             out["matched_mbes"] = matched
         if "fls" in tick_b.events:
             evf = tick_b.events["fls"]
-            st, matched_f = da_lanes_pass(
+            st, matched_f, band = da_lanes_pass(
                 st, evf.value, evf.mask & odom.valid[:, None], params, cfg,
-                FLS, a8=a8, valid=odom.valid if a8 is not None else None)
+                FLS, a8=a8, valid=odom.valid if a8 is not None else None,
+                band=band)
             a8 = None
             out["matched_fls"] = matched_f
 
         out["mu"] = st.mu[:, 0:6]
         out["n_active"] = st.n_active
-        return st, out
+        return (st, band), out
 
-    final, out = jax.lax.scan(body, s0_b, tl_t)
+    (final, _band), out = jax.lax.scan(body, (s0_b, band0_b), tl_t)
     return final, out
 
 

@@ -482,6 +482,13 @@ def da_lanes(
                                #   triggers the in-lanes Σ-slab predict
     valid: jnp.ndarray = None,  # (B,) odom-valid gate for the R add
     r_diag: jnp.ndarray = None,  # (6,) motion noise diag
+    band: jnp.ndarray = None,   # (B, 24, L) landmark block-diag band carry
+                                #   maintained by the fleet update kernel
+                                #   (ops.slam_kernels): band[b, a*8+d, l] =
+                                #   Σ[b, 6+3l+a, 6+3l+a+d]. Replaces the
+                                #   strided block-diag gather from the full
+                                #   Σ (measured 3.6 ms/tick at L=256
+                                #   fleet-128) with static slices.
 ):
     """Whole DA stage (MBES or FLS) for a fleet -> per-measurement tensors.
 
@@ -518,8 +525,16 @@ def da_lanes(
     spl = Sigma[:, 0:6, 6:].reshape(B, 6, L, 3)
     spl_in = lanes(spl.transpose(0, 1, 3, 2).reshape(B, 18 * L), 18 * L)
     # sll blocks [(a*3+c)*L + l] = Sigma[b, 6+3l+a, 6+3l+c]
-    sll = jnp.einsum("blalc->blac", Sigma[:, 6:, 6:].reshape(B, L, 3, L, 3))
-    sll_in = lanes(sll.transpose(0, 2, 3, 1).reshape(B, 9 * L), 9 * L)
+    if band is not None:
+        # symmetric band -> all 9 components by static slices (no gather)
+        sll_src = jnp.stack(
+            [band[:, min(a, c) * 8 + abs(c - a), :L]
+             for a in range(3) for c in range(3)], axis=1)      # (B, 9, L)
+        sll_in = lanes(sll_src.reshape(B, 9 * L), 9 * L)
+    else:
+        sll = jnp.einsum(
+            "blalc->blac", Sigma[:, 6:, 6:].reshape(B, L, 3, L, 3))
+        sll_in = lanes(sll.transpose(0, 2, 3, 1).reshape(B, 9 * L), 9 * L)
     z_in = jnp.zeros((M * 8, Bp), f32)
     zmix = jnp.zeros((B, M, 8), f32)
     zmix = zmix.at[:, :, 0:3].set(z.astype(f32))

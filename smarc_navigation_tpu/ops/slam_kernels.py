@@ -257,7 +257,8 @@ def sequential_update(
 # residency rules (4 Sigmas <= 630 KB at L=64).
 
 
-def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False):
+def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
+                              slabs: bool = False):
     def kernel(pk_all,                         # (G, MB*M) int32 SMEM packed
                #   prefetch: lm_ix | do<<14 | add<<15 — ONE flat array
                #   because each prefetched SMEM operand's minor dims are
@@ -269,11 +270,14 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False):
                                                #   rows 0..7 G, 8..15 H
                cov_ref,                        # (16, 128)
                nu_ref,                         # (MB, M*8, 128)
-               *rest):                         # [a8_ref,] outs, scratch
-        if predict:
-            a8_ref, sigma_ref, mu_ref, eall, base, ubuf, vbuf = rest
-        else:
-            sigma_ref, mu_ref, eall, base, ubuf, vbuf = rest
+               *rest):                         # [a8_ref,] [band_in,] outs,
+                                               #   scratch
+        rest = list(rest)
+        a8_ref = rest.pop(0) if predict else None
+        band_in_ref = rest.pop(0) if slabs else None  # (MB, 24, L)
+        sigma_ref, mu_ref = rest.pop(0), rest.pop(0)
+        band_ref = rest.pop(0) if slabs else None     # (MB, 24, L) out
+        eall, base, ubuf, vbuf = rest
         g = pl.program_id(0)
 
         def lmix_of(b, m):
@@ -395,6 +399,24 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False):
                         KV[_PAD_DIM:2 * _PAD_DIM] + E1 * cv8)
 
         angle_mask = (colD8 >= 3) & (colD8 < 6) & (row8 == 0)
+        if slabs:
+            # landmark block-diag BAND carry: band[a*8+d, l] tracks
+            # Σ[6+3l+a, 6+3l+a+d] (d = 0..2; symmetric lower half derived
+            # by the consumer). Maintained as band_in − blockdiag of the
+            # SYMMETRIZED rank downdate ½(UVᵀ+VUᵀ): per diagonal offset d,
+            # q_d[i] = Σ_r ½(U[r,i]V[r,i+d] + V[r,i]U[r,i+d]) via lane
+            # rolls + a sublane reduce, then a one-hot stride-3 lane
+            # decimation on the MXU (exact: one product per output). The
+            # predict factor rows are identically zero on landmark lanes,
+            # so the band needs no predict transform (Σ_ll is untouched by
+            # the motion predict, ``ekf_slam_core.cpp:110-118``). This
+            # spares the DA stage its (B,L,3,L,3) block-diag gather from
+            # the full Σ — measured 3.6 ms/tick at L=256 fleet-128.
+            Lsz = band_in_ref.shape[2]
+            rowDL = jax.lax.broadcasted_iota(jnp.int32, (D, Lsz), 0)
+            colL = jax.lax.broadcasted_iota(jnp.int32, (D, Lsz), 1)
+            dsel = [jnp.where(rowDL == 6 + 3 * colL + a, 1.0, 0.0)
+                    for a in range(3)]                       # (D, L) one-hot
         for b in range(MB):
             delta = jax.lax.dot_general(
                 nu_ref[b][:, 0:1], ubuf[b, POFF:, :],
@@ -406,6 +428,23 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False):
                 ubuf[b], vbuf[b],
                 dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
             sigma_ref[b, :, :] = 0.5 * (s + s.T)
+            if slabs:
+                ub, vb = ubuf[b], vbuf[b]
+                qs = []
+                for d in range(3):
+                    # roll by (D - d) == roll by -d: vr[r, i] = v[r, i + d]
+                    # (pltpu.roll wants non-negative shifts; wrapped lanes
+                    # only land at band positions no consumer reads)
+                    vr = pltpu.roll(vb, D - d, 1) if d else vb
+                    ur = pltpu.roll(ub, D - d, 1) if d else ub
+                    qs.append(jnp.sum(ub * vr + vb * ur, axis=0,
+                                      keepdims=True))        # (1, D)
+                qstack = jnp.concatenate(
+                    qs + [jnp.zeros_like(qs[0])] * 5, axis=0)  # (8, D)
+                for a in range(3):
+                    bd = jnp.dot(qstack, dsel[a], **_DOTH)     # (8, L)
+                    band_ref[b, a * 8:(a + 1) * 8, :] = (
+                        band_in_ref[b, a * 8:(a + 1) * 8, :] - 0.5 * bd)
 
     return kernel
 
@@ -424,6 +463,10 @@ def sequential_update_fleet(
     cand: jnp.ndarray = None,  # (B, M, 3) new-landmark positions (optional)
     a8: jnp.ndarray = None,    # (B, 8, 16): cols 0:8 = Ã8 (motion Jacobian
                                #   blockdiag(A6, I2)), col 8 = r_diag·valid
+    band: jnp.ndarray = None,  # (B, 24, L) landmark block-diag band carry
+                               #   (see the kernel's slabs note); when given
+                               #   the updated band is returned as a third
+                               #   output
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fleet-batched sequential update: same math as ``sequential_update``
     per mission, MB missions per grid step for instruction parallelism.
@@ -442,13 +485,18 @@ def sequential_update_fleet(
     M, dim = nu_sel.shape[1], nu_sel.shape[2]
     f32 = jnp.float32
     # VMEM-aware mission block: grid in/out blocks are DOUBLE-buffered
-    # (2x Σin + 2x Σout + small ins/outs) + single-buffered scratch, all
-    # within the ~16 MB VMEM (L=64 -> MB=8; L=256 -> MB=1)
+    # (2x Σin + 2x Σout + small ins/outs) + single-buffered scratch +
+    # ~2 (D,D) stack temporaries (the final downdate's s and its
+    # transpose — measured: MB=2 at D=774 blows the 16 MB scoped limit by
+    # 10 MB even with single-buffered Σ streams), all within ~16 MB VMEM
+    # (L=64 -> MB=8; L=256 -> MB=1).
+    sig_bufs = 1 if D >= 512 else 2
     per_mission = 4 * (
-        2 * 2 * (D * D + 8 * D)                        # Σ/μ in+out, x2 buf
+        sig_bufs * 2 * D * D + 2 * 2 * 8 * D           # Σ/μ in+out
         + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)  # gh/nu in, x2 buf
         + 2 * M * _PAD9 * D
-        + 2 * (_PRED_ROWS + M * _PAD_DIM) * D)          # scratch
+        + 2 * (_PRED_ROWS + M * _PAD_DIM) * D           # scratch
+        + 2 * D * D)                                    # stack temporaries
     MB = 1
     for cand_mb in (8, 4, 2):
         if B % cand_mb == 0 and cand_mb * per_mission <= 14 * 2 ** 20:
@@ -474,9 +522,16 @@ def sequential_update_fleet(
     mu_pad = jnp.zeros((B, 8, D), f32).at[:, 0, :].set(mu.astype(f32))
 
     predict = a8 is not None
+    slabs = band is not None
     poff = _PRED_ROWS if predict else 0
+    # Large states are VMEM-bound, not DMA-bound: at D=774 the Σ block DMA
+    # is ~6 us against ~100 us of compute per grid step, so single-buffer
+    # the Σ in/out streams (saves 2·MB·D² f32 of VMEM — double buffering
+    # them is what OOM'd the L=256 fleet at B=128).
+    sig_buf = pl.Buffered(buffer_count=1) if D >= 512 else None
     in_specs = [
-        pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0),
+                     pipeline_mode=sig_buf),
         pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec((MB, M * _PAD9, _PAD9), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec((_PAD9, 128), lambda g, *_: (0, 0)),
@@ -498,14 +553,26 @@ def sequential_update_fleet(
     if predict:
         in_specs.append(pl.BlockSpec((MB, 8, 16), lambda g, *_: (g, 0, 0)))
         args.append(a8.astype(f32))
+    out_specs = [
+        pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0),
+                     pipeline_mode=sig_buf),
+        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, D, D), f32),
+        jax.ShapeDtypeStruct((B, 8, D), f32),
+    ]
+    if slabs:
+        Lb = band.shape[2]
+        in_specs.append(pl.BlockSpec((MB, 24, Lb), lambda g, *_: (g, 0, 0)))
+        args.append(band.astype(f32))
+        out_specs.append(pl.BlockSpec((MB, 24, Lb), lambda g, *_: (g, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, 24, Lb), f32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((MB, M * _PAD9, D), f32),
             pltpu.VMEM((MB, M * _PAD9, D), f32),
@@ -513,12 +580,11 @@ def sequential_update_fleet(
             pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
         ],
     )
-    sig_o, mu_o = pl.pallas_call(
-        _make_update_kernel_fleet(MB, M, predict=predict),
+    outs = pl.pallas_call(
+        _make_update_kernel_fleet(MB, M, predict=predict, slabs=slabs),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, D, D), f32),
-            jax.ShapeDtypeStruct((B, 8, D), f32),
-        ],
+        out_shape=out_shape,
     )(*args)
-    return sig_o, mu_o[:, 0, :]
+    if slabs:
+        return outs[0], outs[1][:, 0, :], outs[2]
+    return outs[0], outs[1][:, 0, :]
