@@ -203,20 +203,32 @@ def run_raycast_fleet(
     # single-device fleet: render + predict vmapped, DA through the
     # missions-in-lanes kernel (ops/slam_da_kernels — ~2.8x the vmapped step)
     B = gt_tracks.shape[0]
+    L = slam_cfg.max_landmarks
+    D = 6 + 3 * L
     s0 = slam.init_state(slam_cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+    # landmark block-diag band carry (see ekf_slam.run_fleet)
+    la = 6 + 3 * jnp.arange(L)
+    band0 = jnp.zeros((24, L), s0.Sigma.dtype)
+    for a in range(3):
+        for d in range(3):
+            band0 = band0.at[a * 8 + d].set(
+                s0.Sigma[la + a, jnp.minimum(la + a + d, D - 1)])
+    band0_b = jnp.broadcast_to(band0, (B, 24, L))
 
-    def body(state_b, pose_b):
+    def body(carry, pose_b):
+        state_b, band = carry
         pts, mask = jax.vmap(
             lambda p, l, m: raycast.ping_detections(
                 p, l, m, spec, max_detections=slam_cfg.max_obs)
         )(pose_b, landmark_sets, lm_masks)
         pred = jax.vmap(lambda s, p: slam.predict(s, p, slam_params))(
             state_b, pose_b)
-        st, _m = slam.da_lanes_pass(pred, pts, mask, slam_params, slam_cfg)
-        return st, (st.mu[:, 0:6], st.n_active)
+        st, _m, band = slam.da_lanes_pass(pred, pts, mask, slam_params,
+                                          slam_cfg, band=band)
+        return (st, band), (st.mu[:, 0:6], st.n_active)
 
-    final, (mu_t, nact_t) = jax.lax.scan(
-        body, s0_b, jnp.moveaxis(gt_tracks, 0, 1))
+    (final, _band), (mu_t, nact_t) = jax.lax.scan(
+        body, (s0_b, band0_b), jnp.moveaxis(gt_tracks, 0, 1))
     return final, (jnp.moveaxis(mu_t, 0, 1), jnp.moveaxis(nact_t, 0, 1))
