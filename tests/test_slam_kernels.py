@@ -190,3 +190,57 @@ def test_pallas_kernel_direct_sequence():
         )
     np.testing.assert_allclose(np.asarray(mu_k), mu_ref, atol=2e-4)
     np.testing.assert_allclose(np.asarray(S_k), S_ref, atol=2e-3)
+
+
+def test_fleet_kernel_band_carry_tracks_sigma_blockdiag():
+    """The (24, L) landmark block-diag band carried by the fleet kernel must
+    track the returned Σ's landmark block diagonal (same random sequence as
+    the direct test, fleet-batched, two chained calls so the carry itself is
+    exercised)."""
+    from smarc_navigation_tpu.ops import slam_kernels
+
+    rng = np.random.default_rng(11)
+    B, L, M, dim = 4, 8, 4, 3
+    D = 6 + 3 * L
+
+    def rand_state():
+        A = rng.normal(0, 0.2, (B, D, D))
+        Sigma = (np.einsum("bij,bkj->bik", A, A)
+                 + np.eye(D)[None]).astype(np.float32)
+        return Sigma, rng.normal(0, 1, (B, D)).astype(np.float32)
+
+    Sigma, mu = rand_state()
+    la = 6 + 3 * np.arange(L)
+    band = np.zeros((B, 24, L), np.float32)
+    for a in range(3):
+        for d in range(3):
+            cols = np.minimum(la + a + d, D - 1)
+            band[:, a * 8 + d, :] = Sigma[:, la + a, cols]
+    band = jnp.asarray(band)
+    Sigma, mu = jnp.asarray(Sigma), jnp.asarray(mu)
+
+    for step in range(2):
+        H = rng.normal(0, 0.1, (B, M, dim, 9)).astype(np.float32)
+        Sinv = rng.uniform(0.1, 0.4, (B, M))[:, :, None, None] * np.eye(dim)
+        SinvH = np.einsum("bmij,bmjk->bmik", Sinv, H).astype(np.float32)
+        nu = rng.normal(0, 0.3, (B, M, dim)).astype(np.float32)
+        lm_ix = (6 + 3 * rng.integers(0, L, (B, M))).astype(np.int32)
+        do = rng.random((B, M)) < 0.8
+        add = (rng.random((B, M)) < 0.4) & do
+        cand = rng.normal(0, 5.0, (B, M, 3)).astype(np.float32)
+        new_cov = np.array([2.0, 1.5, 1.0], np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            Sigma, mu, band = slam_kernels.sequential_update_fleet(
+                Sigma, mu, jnp.asarray(H), jnp.asarray(SinvH),
+                jnp.asarray(nu), jnp.asarray(lm_ix), jnp.asarray(do),
+                jnp.asarray(add), jnp.asarray(new_cov), jnp.asarray(cand),
+                band=band)
+        Sn = np.asarray(Sigma)
+        bn = np.asarray(band)
+        for a in range(3):
+            for c in range(3):
+                want = Sn[:, la + a, la + c]                     # (B, L)
+                got = bn[:, min(a, c) * 8 + abs(c - a), :]
+                np.testing.assert_allclose(
+                    got, want, atol=5e-5,
+                    err_msg=f"step {step} block entry ({a},{c})")
