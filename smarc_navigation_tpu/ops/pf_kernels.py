@@ -49,49 +49,48 @@ N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 _WSLACK = 384    # ancestor-window slack beyond the block width (see guard)
 
 
-def _make_resample_kernel(batch: int):
-    """Kernel factory: `batch` consecutive output blocks per grid step, each
-    with its own ancestor window — DMAs issued together (latency overlap)
-    and per-grid-step overhead (~0.6 us) amortized `batch`-fold."""
+def _make_resample_kernel(batch: int, W: int):
+    """Kernel factory: `batch` consecutive output blocks per grid step share
+    ONE merged ancestor window (consecutive blocks' windows overlap heavily
+    — systematic block spans partition the input), so the grid step issues
+    2 DMAs instead of 2·batch and the per-step overhead (~0.6 µs) amortizes
+    `batch`-fold. Each block slices its own (W,) sub-window at a 128-aligned
+    offset; the caller guarantees starts[b] − head ≤ BW − W (its `fits`
+    guard routes violations to the exact fallback)."""
 
-    def kernel(starts_ref, off_ref, mcum_ref, parts_ref, out_ref, *scratch):
-        mwins = scratch[0:batch]            # batch x (1, W) i32
-        pwins = scratch[batch:2 * batch]    # batch x (8, W) f32
-        sems = scratch[2 * batch]
+    def kernel(starts_ref, heads_ref, off_ref, mcum_ref, parts_ref, out_ref,
+               mwin, pwin, sems):
         c = pl.program_id(0)
         K = out_ref.shape[1] // batch
-        W = mwins[0].shape[1]
-        off = off_ref[0]                    # global slot of local output 0
+        hs = pl.multiple_of(heads_ref[c], 128)
+        cp_m = pltpu.make_async_copy(
+            mcum_ref.at[:, pl.ds(hs, mwin.shape[1])], mwin, sems.at[0])
+        cp_p = pltpu.make_async_copy(
+            parts_ref.at[:, pl.ds(hs, pwin.shape[1])], pwin, sems.at[1])
+        cp_m.start()
+        cp_p.start()
+        cp_m.wait()
+        cp_p.wait()
 
-        copies = []
-        for b in range(batch):
-            s_eff = pl.multiple_of(starts_ref[c * batch + b], 128)
-            cp_m = pltpu.make_async_copy(
-                mcum_ref.at[:, pl.ds(s_eff, W)], mwins[b], sems.at[2 * b])
-            cp_p = pltpu.make_async_copy(
-                parts_ref.at[:, pl.ds(s_eff, W)], pwins[b], sems.at[2 * b + 1])
-            cp_m.start()
-            cp_p.start()
-            copies.append((cp_m, cp_p))
-        for cp_m, cp_p in copies:
-            cp_m.wait()
-            cp_p.wait()
+        off = off_ref[0]                    # global slot of local output 0
+        jg0 = jax.lax.broadcasted_iota(jnp.int32, (W, K), 1)   # hoisted
 
         for b in range(batch):
             # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i. The cell
             # array is the VPU cost: build it in bf16 (one-hot entries are
             # exactly 0/1) and recover exact f32 particle values through a
             # 3-way bf16 split of the window (hi+mid+lo == x exactly; each
-            # output column hits exactly one 1 in the one-hot).
-            jg = off + (c * batch + b) * K + jax.lax.broadcasted_iota(
-                jnp.int32, (W, K), 1)
-            mw = mwins[b][0, :]
-            A = (mw[:, None] > jg).astype(jnp.bfloat16)            # (W,K)
+            # output column hits exactly one 1 in the one-hot). The global
+            # output offset folds into the (1, W) count row, not the (W, K)
+            # iota — one row op instead of a full-cell-array add.
+            sb = pl.multiple_of(starts_ref[c * batch + b] - hs, 128)
+            mw = mwin[0, pl.ds(sb, W)] - (off + (c * batch + b) * K)  # (W,)
+            A = (mw[:, None] > jg0).astype(jnp.bfloat16)           # (W,K)
             A_prev = jnp.concatenate(
                 [jnp.zeros((1, K), jnp.bfloat16), A[:-1, :]], axis=0)
             onehot = A - A_prev                                    # 0/1 in bf16
 
-            pw = pwins[b][:, :]                                    # (8, W) f32
+            pw = pwin[:, pl.ds(sb, W)]                             # (8, W) f32
             hi = pw.astype(jnp.bfloat16)
             r1 = pw - hi.astype(jnp.float32)
             mid = r1.astype(jnp.bfloat16)
@@ -113,7 +112,7 @@ def systematic_resample_gather(
     parts: jnp.ndarray,    # (6, N)
     weights: jnp.ndarray,  # (N,) normalized
     key,
-    block: int = 512,
+    block: int = 256,
 ) -> jnp.ndarray:
     """Systematic resample + ancestor gather in one fused pass -> (6, N).
 
@@ -130,18 +129,29 @@ def systematic_resample_gather(
     exact searchsorted+gather fallback, so the result is exact for every
     weight vector (the fallback's XLA gather costs ~100x the kernel at 2^20
     — acceptable for weight-collapse resamples, which in a running filter
-    happen at most once at the first fix)."""
+    happen at most once at the first fix).
+
+    The one-hot cell build is O(N·W) VPU work (W = block + slack, slack
+    fixed), which favors small blocks; per-block MXU latency favors large
+    ones. Measured at 2^20 (merged batch window, 16 blocks / 2 DMAs per
+    grid step): block 128 -> 3.50 ms, 256 -> 2.37 ms, 512 -> 2.58 ms,
+    1024 -> 4.28 ms per resample; 256 is the knee."""
     from . import resampling
 
     n = parts.shape[1]
-    W = block + _WSLACK
+    W = block + _wslack(block)
+    BATCH = 16
     if n % block or n < W:
         if n == block:
             W = n  # single-step small-bank case: window = whole bank
         else:
             raise ValueError(
-                f"particle count {n} must be divisible by {block} and >= {block + _WSLACK}"
+                f"particle count {n} must be divisible by {block} and "
+                f">= {block + _wslack(block)}"
             )
+    n_blocks = n // block
+    batch = BATCH if (n_blocks % BATCH == 0 and n >= BATCH * block + W) else 1
+    BW = batch * block + W if batch > 1 else W
 
     u = jax.random.uniform(key, (), jnp.float32)
     m_cum = resampling.systematic_counts(weights, u)
@@ -155,6 +165,11 @@ def systematic_resample_gather(
     ts_next = jnp.concatenate([ts[1:], jnp.asarray([n], jnp.int32)])
     starts = jnp.clip((ts // 128) * 128, 0, n - W)
     fits = jnp.max(ts_next - (ts // 128) * 128) < W
+    # merged-window condition: every block's window must sit inside its
+    # batch head's (BW,) window
+    heads = jnp.clip(starts[::batch], 0, n - BW)
+    fits = fits & (jnp.max(
+        starts - jnp.repeat(heads, batch)) <= BW - W)
 
     # pad the 6 state rows to the sublane tile (8) for aligned DMA windows
     parts8 = jnp.concatenate(
@@ -163,7 +178,8 @@ def systematic_resample_gather(
 
     def fast(_):
         return expand_gather_call(m_cum, parts8, starts,
-                                  jnp.zeros((1,), jnp.int32), n, block, W)
+                                  jnp.zeros((1,), jnp.int32), n, block, W,
+                                  batch=batch, heads=heads)
 
     def exact(_):
         anc = jnp.searchsorted(
@@ -175,6 +191,12 @@ def systematic_resample_gather(
     return out8[0:6]
 
 
+def _wslack(block: int) -> int:
+    """Ancestor-window slack beyond the block width: 128-alignment waste
+    (≤127) + within-block span fluctuation (~√(2·block), budgeted at ≥8σ)."""
+    return 256 if block <= 256 else _WSLACK
+
+
 def expand_gather_call(
     m_cum: jnp.ndarray,    # (Nw,) monotone cumulative counts (window space)
     parts8: jnp.ndarray,   # (8, Nw) particle window (sublane-padded)
@@ -183,35 +205,45 @@ def expand_gather_call(
     n_out: int,
     block: int,
     W: int,
+    batch: int = 1,
+    heads: jnp.ndarray = None,  # (n_out/block/batch,) merged-window starts
+                                #   (required for batch > 1; caller must
+                                #   guarantee starts[b] - heads[b//batch]
+                                #   <= batch*block — see the `fits` guard)
 ) -> jnp.ndarray:
     """The fused one-hot/MXU ancestor expansion over a particle window.
 
     Factored out of ``systematic_resample_gather`` so the distributed
     resample (``parallel.resample_dist``) can run the same kernel on a
-    halo-extended shard window with a nonzero output offset."""
+    halo-extended shard window with a nonzero output offset (batch=1:
+    per-block windows, no merged-window precondition)."""
     grid = n_out // block
-    batch = 4 if grid % 4 == 0 else 1
+    if batch == 1 or grid % batch:
+        batch = 1
+        heads = starts
+    BW = batch * block + W if batch > 1 else W
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(grid // batch,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, Nw) in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, Nw) in HBM
         ],
         out_specs=pl.BlockSpec(
-            (8, block * batch), lambda c, s, o: (0, c), memory_space=pltpu.VMEM
+            (8, block * batch), lambda c, s, h, o: (0, c),
+            memory_space=pltpu.VMEM
         ),
         scratch_shapes=(
-            [pltpu.VMEM((1, W), jnp.int32) for _ in range(batch)]
-            + [pltpu.VMEM((8, W), jnp.float32) for _ in range(batch)]
-            + [pltpu.SemaphoreType.DMA((2 * batch,))]
+            [pltpu.VMEM((1, BW), jnp.int32),
+             pltpu.VMEM((8, BW), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))]
         ),
     )
     return pl.pallas_call(
-        _make_resample_kernel(batch),
+        _make_resample_kernel(batch, W),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, n_out), jnp.float32),
-    )(starts, out_off, m_cum[None, :], parts8)
+    )(starts, heads, out_off, m_cum[None, :], parts8)
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
