@@ -552,13 +552,21 @@ def da_lanes(
     if predict:
         par = par.at[0, 21:27].set(r_diag.astype(f32))
 
+    # every operation in the DA kernel is lane-local (missions in lanes,
+    # componentwise rows), so large fleets grid over 128-lane mission
+    # blocks — the whole-fleet block form blows VMEM past ~900 lanes at
+    # L=64 (measured: B=1024 exceeds the 16 MB scoped limit by 444 KB)
+    lane_grid = Bp // 128
+    ins = [pose_in, act_in, lm_in, spp_in, spl_in, sll_in, z_in]
     out = pl.pallas_call(
         _make_da_kernel(L, M, fls=(sensor == "fls"), predict=predict),
+        grid=(lane_grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        + [pl.BlockSpec((x.shape[0], 128), lambda g, x=x: (0, g))
+           for x in ins],
+        out_specs=pl.BlockSpec((M * 64, 128), lambda g: (0, g)),
         out_shape=jax.ShapeDtypeStruct((M * 64, Bp), jnp.float32),
-    )(par, pose_in, act_in, lm_in, spp_in, spl_in, sll_in, z_in)
+    )(par, *ins)
 
     o = out[:, :B].T.reshape(B, M, 64)
     H_sel = o[:, :, 0:9 * dim].reshape(B, M, dim, 9)
