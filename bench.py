@@ -115,7 +115,16 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}  budget: {BUDGET_S:.0f}s", file=sys.stderr)
 
+    _tl_cache = {}
+
     def slam_timelines(cfg, duration, B):
+        # content depends only on (system_freq, max_obs, duration, B) — the
+        # SLAM configs benched here share freq/max_obs, so cache on
+        # (duration, B) and spare the single host core rebuilding the same
+        # missions for the L=64, L=256 and combined sections
+        ck = (cfg.system_freq, cfg.max_obs, duration, B)
+        if ck in _tl_cache:
+            return _tl_cache[ck]
         tls = []
         for b in range(min(B, 16)):  # 16 distinct missions, tiled to B
             m = sim.simulate(
@@ -155,7 +164,8 @@ def main():
                 )
             )
         tls = (tls * ((B + len(tls) - 1) // len(tls)))[:B]
-        return fleet.batch_timelines(tls)
+        _tl_cache[ck] = fleet.batch_timelines(tls)
+        return _tl_cache[ck]
 
     # ---- 1. EKF-SLAM fleet (headline: L=64 working shapes) --------------------
     def sec_slam_headline():
@@ -446,7 +456,7 @@ def main():
 
         cfg15 = e15.Ekf15Config(frequency=50.0)
         r15, T15 = {}, {}
-        for dur, key in ((15.0, "s"), (240.0, "b")):
+        for dur, key in ((15.0, "s"), (120.0, "b")):
             m15 = sim.simulate(sim.MissionSpec(duration_s=dur, seed=5))
             tl15 = e15.ekf15_timeline(m15, cfg15, include_gps=True)
             bt15 = fleet.batch_timelines([tl15] * 64)
@@ -464,7 +474,7 @@ def main():
         # mission, both through the lanes kernel + batched map->odom tf
         cfg15g = e15.global_config(frequency=50.0)
         rd, Td = {}, {}
-        for dur, key in ((15.0, "s"), (240.0, "b")):
+        for dur, key in ((15.0, "s"), (120.0, "b")):
             m15 = sim.simulate(sim.MissionSpec(duration_s=dur, seed=5))
             tl15 = e15.ekf15_timeline(m15, cfg15, include_gps=True)
             bt15 = fleet.batch_timelines([tl15] * 64)
@@ -502,7 +512,7 @@ def main():
             return acc
 
         rdr, Tdr = {}, {}
-        for dur, key in ((15.0, "s"), (240.0, "b")):
+        for dur, key in ((15.0, "s"), (120.0, "b")):
             mdr = sim.simulate(sim.MissionSpec(duration_s=dur, seed=9))
             btdr = fleet.batch_timelines([dr_mod.sam_timeline(mdr)] * 256)
             Tdr[key] = int(btdr.ticks.shape[1])
