@@ -165,3 +165,62 @@ def test_run_fleet_fls_pass_matches_vmapped_run():
         mf = np.asarray(out_f["matched_fls"][:, b])
         md = np.asarray(out_d["matched_fls"])
         assert (mf == md).mean() == 1.0
+
+
+def test_run_fleet_mixed_sensors_matches_vmapped_run():
+    """Both sensors in ONE mission (MBES pass then FLS pass per tick —
+    ``ekf_slam.cpp:323``'s frame_id dispatch, both passes per tick when both
+    topics delivered): the fleet path must match the per-mission dense path,
+    including the band carry threading through both passes and the in-kernel
+    predict riding only the first."""
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=8, max_obs=4,
+        mhl_dist_mbes=1.0, q_mbes_diag=(0.1,) * 3,
+        q_fls_diag=(4.0, 4.0), r_diag=(1e-3,) * 6)
+    params = slam.make_params(cfg)
+    mbes_lms = np.array([[6.0, 1.5, -8.0], [10.0, -2.0, -9.0]])
+    fls_lms = np.array([[8.0, 2.0, -1.0], [14.0, -3.0, -1.0]])
+    T = 30
+    ticks = (np.arange(T) + 1) / cfg.system_freq
+    poses = np.zeros((T, 6), np.float32)
+    poses[:, 0] = 0.2 * np.arange(T)
+    poses[:, 2] = -1.0
+    m_st, m_v, m_b = [], [], []
+    f_st, f_v, f_b = [], [], []
+    for k, t in enumerate(ticks):
+        for lm in mbes_lms:
+            z = np.asarray(slam.MBES.h(jnp.asarray(poses[k]),
+                                       jnp.asarray(lm, jnp.float32), params))
+            if np.linalg.norm(z) < 12.0:
+                m_st.append(t)
+                m_v.append(z)
+                m_b.append(k)
+        for lm in fls_lms:
+            z_px = np.asarray(slam.h_fls(jnp.asarray(poses[k]),
+                                         jnp.asarray(lm, jnp.float32), params))
+            if z_px[0] > 0:
+                f_st.append(t)
+                f_v.append([z_px[0], z_px[1], 0.0])
+                f_b.append(k)
+    tl = build_timeline(
+        0.0, T / cfg.system_freq, cfg.system_freq,
+        channels={"odom": (ticks, poses)},
+        events={
+            "mbes": (np.asarray(m_st), np.asarray(m_v), np.asarray(m_b),
+                     cfg.max_obs),
+            "fls": (np.asarray(f_st), np.asarray(f_v), np.asarray(f_b),
+                    cfg.max_obs),
+        },
+    )
+    batched = fleet.batch_timelines([tl, tl])
+    final_f, out_f = slam.run_fleet(batched, params, cfg, update_mode="full")
+    final_d, out_d = slam.run(tl, params, cfg, update_mode="full")
+    assert int(final_d.n_active) == 4  # both sensors really mapped things
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out_f["mu"][:, b]), np.asarray(out_d["mu"]), atol=1e-2)
+        assert int(final_f.n_active[b]) == int(final_d.n_active)
+        for key in ("matched_mbes", "matched_fls"):
+            mf = np.asarray(out_f[key][:, b])
+            md = np.asarray(out_d[key])
+            assert (mf == md).mean() == 1.0, (key, b)
