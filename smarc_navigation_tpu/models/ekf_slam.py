@@ -695,29 +695,21 @@ def run(
     return jax.lax.scan(body, s0, timeline)
 
 
-def commit_preselected(st: SlamState, H_sel, SinvH, nu_sel, cand, do, add,
-                       slot, cfg: EKFSlamConfig,
-                       sensor: SensorSpec = None):
-    """Per-mission commit from the DA kernel's preselected tensors — the
-    pallas branch of ``da_commit`` minus the selection it already did
-    in-lanes (``ops.slam_da_kernels.da_lanes``)."""
-    from ..ops import slam_kernels
-
-    sensor = MBES if sensor is None else sensor
-    L = cfg.max_landmarks
-    f32 = st.mu.dtype
-    lm_ix = 6 + 3 * slot
-    mu = st.mu
-    tgt = jnp.where(add[:, None], lm_ix[:, None] + jnp.arange(3), mu.shape[0])
-    mu = mu.at[tgt.reshape(-1)].set(cand.astype(f32).reshape(-1), mode="drop")
-    active = st.active.at[jnp.where(add, slot, L)].set(True, mode="drop")
-    n_active = st.n_active + jnp.sum(add)
-    Sigma, mu = slam_kernels.sequential_update(
-        st.Sigma, mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
-        jnp.asarray(sensor.new_lm_cov, f32))
-    matched = jnp.where(do, slot, -1)
-    return SlamState(mu=mu, Sigma=Sigma, active=active, n_active=n_active,
-                     mu_auv_odom=st.mu_auv_odom), matched
+def initial_band(Sigma0: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(24, L) landmark block-diag band of an initial covariance — the
+    carry seed for the fleet update kernel's in-kernel band maintenance
+    (row a*8+d holds Σ[6+3l+a, 6+3l+a+d]; rows with a+d > 2 are never
+    consumed, their clamped reads only keep indices in range). NOT always
+    zero: beacon-prior states carry diag(20,10,10) landmark blocks
+    (``ekf_slam.cpp:168-173``)."""
+    D = Sigma0.shape[0]
+    la = 6 + 3 * jnp.arange(L)
+    band = jnp.zeros((24, L), Sigma0.dtype)
+    for a in range(3):
+        for d in range(3):
+            band = band.at[a * 8 + d].set(
+                Sigma0[la + a, jnp.minimum(la + a + d, D - 1)])
+    return band
 
 
 def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
@@ -849,6 +841,17 @@ def run_fleet(
     tests against scipy and the dense path). Both MBES and FLS passes run
     through the whole-DA lanes kernel (``da_lanes`` with the matching
     sensor factory)."""
+    if update_mode not in ("auto", "full"):
+        # non-default covariance writeback (marginal/lowrank/pallas): the
+        # fleet update kernel implements exactly the "full" sequence, so
+        # honor the request through the vmapped per-mission path instead of
+        # silently substituting full-update semantics
+        final, out = jax.vmap(
+            lambda tl: run(tl, params, cfg, update_mode=update_mode)
+        )(batched_timeline)
+        return final, jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, 0, 1), out)
+
     tl_t = jax.tree_util.tree_map(
         lambda x: jnp.moveaxis(x, 0, 1), batched_timeline)
     B = batched_timeline.ticks.shape[0]
@@ -859,14 +862,7 @@ def run_fleet(
     # landmark block-diag band carry (see slam_kernels.sequential_update_
     # fleet): built once from Σ0 here, then maintained in-kernel — the DA
     # stage never gathers the block diagonal from the full Σ again
-    D = 6 + 3 * L
-    la = 6 + 3 * jnp.arange(L)
-    band0 = jnp.zeros((24, L), s0.Sigma.dtype)
-    for a in range(3):
-        for d in range(3):
-            band0 = band0.at[a * 8 + d].set(
-                s0.Sigma[la + a, jnp.minimum(la + a + d, D - 1)])
-    band0_b = jnp.broadcast_to(band0, (B, 24, L))
+    band0_b = jnp.broadcast_to(initial_band(s0.Sigma, L), (B, 24, L))
 
     def body(carry, tick_b):
         state_b, band = carry

@@ -204,18 +204,11 @@ def run_raycast_fleet(
     # missions-in-lanes kernel (ops/slam_da_kernels — ~2.8x the vmapped step)
     B = gt_tracks.shape[0]
     L = slam_cfg.max_landmarks
-    D = 6 + 3 * L
     s0 = slam.init_state(slam_cfg)
     s0_b = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
     # landmark block-diag band carry (see ekf_slam.run_fleet)
-    la = 6 + 3 * jnp.arange(L)
-    band0 = jnp.zeros((24, L), s0.Sigma.dtype)
-    for a in range(3):
-        for d in range(3):
-            band0 = band0.at[a * 8 + d].set(
-                s0.Sigma[la + a, jnp.minimum(la + a + d, D - 1)])
-    band0_b = jnp.broadcast_to(band0, (B, 24, L))
+    band0_b = jnp.broadcast_to(slam.initial_band(s0.Sigma, L), (B, 24, L))
 
     def body(carry, pose_b):
         state_b, band = carry

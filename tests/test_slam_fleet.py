@@ -224,3 +224,21 @@ def test_run_fleet_mixed_sensors_matches_vmapped_run():
             mf = np.asarray(out_f[key][:, b])
             md = np.asarray(out_d[key])
             assert (mf == md).mean() == 1.0, (key, b)
+
+
+def test_run_fleet_nondefault_update_mode_routes_per_mission():
+    """update_mode other than auto/full must be honored (vmapped per-mission
+    path), not silently replaced by the fleet kernel's full-update
+    semantics."""
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=8, max_obs=4,
+        mhl_dist_mbes=1.0, q_mbes_diag=(0.1,) * 3, r_diag=(1e-3,) * 6)
+    params = slam.make_params(cfg)
+    tls = _slam_tls(cfg, 3.0, [1, 2])
+    batched = fleet.batch_timelines(tls)
+    final_f, out_f = slam.run_fleet(batched, params, cfg,
+                                    update_mode="marginal")
+    final_d, out_d = slam.run(tls[0], params, cfg, update_mode="marginal")
+    np.testing.assert_allclose(
+        np.asarray(out_f["mu"][:, 0]), np.asarray(out_d["mu"]), atol=1e-5)
+    assert int(final_f.n_active[0]) == int(final_d.n_active)
