@@ -137,3 +137,21 @@ def test_systematic_resample_monotone_counts_at_scale():
     assert (np.diff(anc) >= 0).all()  # ancestors monotone
     # multiset sizes: every slot filled, ancestors within range
     assert anc.min() >= 0 and anc.max() < n
+
+
+def test_systematic_resample_gather_merged_batch_window_exact():
+    """The production path at scale: default block (256) with n large
+    enough that 16 output blocks share one merged ancestor window per grid
+    step (batch=16). Values must still be exactly parts[:, ancestors] —
+    the per-block sub-window slicing and the offset-folded count row must
+    not change the one-hot selection."""
+    from smarc_navigation_tpu.ops import resampling
+
+    n = 8192
+    key0, key1, key2 = jax.random.split(jax.random.PRNGKey(9), 3)
+    parts = jax.random.normal(key0, (6, n))
+    w = jax.random.uniform(key1, (n,)) ** 3  # skewed
+    w = w / jnp.sum(w)
+    anc = resampling.systematic_resample(key2, w)
+    out = pf_kernels.systematic_resample_gather(parts, w, key2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(parts[:, anc]))
