@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .slam_kernels import _split3
+
 _TWO_PI = 6.283185307179586
 N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 
@@ -91,10 +93,7 @@ def _make_resample_kernel(batch: int, W: int):
             onehot = A - A_prev                                    # 0/1 in bf16
 
             pw = pwin[:, pl.ds(sb, W)]                             # (8, W) f32
-            hi = pw.astype(jnp.bfloat16)
-            r1 = pw - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            hi, mid, lo = _split3(pw)
             # DEFAULT precision: the package-wide "highest" would ask for a
             # 3-pass f32 emulation that Mosaic rejects for bf16 operands;
             # bf16 x {0,1} products accumulated in f32 are already exact
@@ -141,6 +140,12 @@ def systematic_resample_gather(
     n = parts.shape[1]
     W = block + _wslack(block)
     BATCH = 16
+    # block must be a multiple of 128: the clipped window starts/heads are
+    # asserted 128-aligned to the kernel (pl.multiple_of) — a non-aligned
+    # W or n-W clip bound would make that hint FALSE and the DMA windows
+    # silently wrong, not slow
+    if block % 128:
+        raise ValueError(f"block ({block}) must be a multiple of 128")
     if n % block or n < W:
         if n == block:
             W = n  # single-step small-bank case: window = whole bank
@@ -164,12 +169,18 @@ def systematic_resample_gather(
     ).astype(jnp.int32)
     ts_next = jnp.concatenate([ts[1:], jnp.asarray([n], jnp.int32)])
     starts = jnp.clip((ts // 128) * 128, 0, n - W)
-    fits = jnp.max(ts_next - (ts // 128) * 128) < W
-    # merged-window condition: every block's window must sit inside its
-    # batch head's (BW,) window
     heads = jnp.clip(starts[::batch], 0, n - BW)
-    fits = fits & (jnp.max(
-        starts - jnp.repeat(heads, batch)) <= BW - W)
+    if W == n:
+        # whole-bank window: every ancestor is in range by construction
+        # (the generic guard below would wrongly demand ts[0] >= n - W + 1
+        # via the ts_next=n sentinel and route every call to the fallback)
+        fits = jnp.asarray(True)
+    else:
+        fits = jnp.max(ts_next - (ts // 128) * 128) < W
+        # merged-window condition: every block's window must sit inside
+        # its batch head's (BW,) window
+        fits = fits & (jnp.max(
+            starts - jnp.repeat(heads, batch)) <= BW - W)
 
     # pad the 6 state rows to the sublane tile (8) for aligned DMA windows
     parts8 = jnp.concatenate(

@@ -75,9 +75,9 @@ def _jv_lanes(costblks, R, C):
         for _it in range(c + 1):
             i0 = pick(p, j0)                               # (1,B) col at j0
             has = i0 >= 0.0
-            u_i0 = sum(jnp.where(i0 == float(cc), u[cc], 0.0)
-                       for cc in range(C))
-            cur = sum(jnp.where(i0 == float(cc), costblks[cc], 0.0)
+            eq0 = [i0 == float(cc) for cc in range(C)]     # hoisted masks
+            u_i0 = sum(jnp.where(eq0[cc], u[cc], 0.0) for cc in range(C))
+            cur = sum(jnp.where(eq0[cc], costblks[cc], 0.0)
                       for cc in range(C))                  # (R,B)
             cur = cur - u_i0 - v[:R]
             cur = jnp.where(has, cur, _INF)

@@ -467,9 +467,11 @@ def sequential_update_fleet(
                                #   (see the kernel's slabs note); when given
                                #   the updated band is returned as a third
                                #   output
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple:
     """Fleet-batched sequential update: same math as ``sequential_update``
     per mission, MB missions per grid step for instruction parallelism.
+    Returns ``(Sigma, mu)`` — or ``(Sigma, mu, band)`` when ``band`` is
+    given.
 
     When ``cand`` is given, added landmarks' μ rows are initialised
     in-kernel: the activation factor rows of ubuf are −E_lm (unit), so
