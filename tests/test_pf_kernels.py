@@ -155,3 +155,20 @@ def test_systematic_resample_gather_merged_batch_window_exact():
     anc = resampling.systematic_resample(key2, w)
     out = pf_kernels.systematic_resample_gather(parts, w, key2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(parts[:, anc]))
+
+
+def test_systematic_resample_gather_whole_bank_window():
+    """n == block: the whole-bank-window fast path (W = n) must be taken
+    (it was dead behind the generic span guard until round 3) and stay
+    value-exact, including under skew that would overflow a partial
+    window."""
+    from smarc_navigation_tpu.ops import resampling
+
+    n = 256
+    key0, key1, key2 = jax.random.split(jax.random.PRNGKey(21), 3)
+    parts = jax.random.normal(key0, (6, n))
+    w = jax.random.uniform(key1, (n,)) ** 6  # heavy skew
+    w = w / jnp.sum(w)
+    anc = resampling.systematic_resample(key2, w)
+    out = pf_kernels.systematic_resample_gather(parts, w, key2, block=n)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(parts[:, anc]))
