@@ -242,3 +242,48 @@ def test_run_fleet_nondefault_update_mode_routes_per_mission():
     np.testing.assert_allclose(
         np.asarray(out_f["mu"][:, 0]), np.asarray(out_d["mu"]), atol=1e-5)
     assert int(final_f.n_active[0]) == int(final_d.n_active)
+
+
+def test_run_fleet_capacity_denial_matches_dense():
+    """Bank saturation through the fleet path: the DA kernel's in-lanes
+    add-denial bookkeeping (cum_can_add against n_active) must deny the
+    same adds as the dense per-mission path once the L-slot bank fills."""
+    cfg = dataclasses.replace(
+        EKFSlamConfig(), max_landmarks=3, max_obs=4,
+        mhl_dist_mbes=1.0, q_mbes_diag=(0.1,) * 3, r_diag=(1e-3,) * 6)
+    params = slam.make_params(cfg)
+    # 8 well-separated true landmarks observed along a straight line:
+    # the 3-slot bank must fill and then deny further adds
+    true_lms = np.array(
+        [[4.0 + 3.0 * i, 2.0 * (-1) ** i, -8.0 - 0.3 * i] for i in range(8)])
+    T = 40
+    ticks = (np.arange(T) + 1) / cfg.system_freq
+    poses = np.zeros((T, 6), np.float32)
+    poses[:, 0] = 0.5 * np.arange(T)
+    poses[:, 2] = -1.0
+    st_, v_, b_ = [], [], []
+    for k in range(T):
+        for lm in true_lms:
+            z = np.asarray(slam.MBES.h(jnp.asarray(poses[k]),
+                                       jnp.asarray(lm, jnp.float32), params))
+            if np.linalg.norm(z) < 8.0:
+                st_.append(ticks[k])
+                v_.append(z)
+                b_.append(k)
+    tl = build_timeline(
+        0.0, T / cfg.system_freq, cfg.system_freq,
+        channels={"odom": (ticks, poses)},
+        events={"mbes": (np.asarray(st_), np.asarray(v_), np.asarray(b_),
+                         cfg.max_obs)})
+    batched = fleet.batch_timelines([tl, tl])
+    final_f, out_f = slam.run_fleet(batched, params, cfg, update_mode="full")
+    final_d, out_d = slam.run(tl, params, cfg, update_mode="full")
+    assert int(final_d.n_active) == cfg.max_landmarks  # really saturated
+    for b in range(2):
+        assert int(final_f.n_active[b]) == int(final_d.n_active)
+        mf = np.asarray(out_f["matched_mbes"][:, b])
+        md = np.asarray(out_d["matched_mbes"])
+        assert (mf == md).mean() == 1.0, f"mission {b}"
+        np.testing.assert_allclose(
+            np.asarray(out_f["mu"][:, b]), np.asarray(out_d["mu"]),
+            atol=1e-2)
