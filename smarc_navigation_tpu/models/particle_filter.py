@@ -340,9 +340,23 @@ def _update_resample_fast(parts, gps_map_xy, k_res, k_noise, params):
     w = w + 1e-30
     w = w / jnp.sum(w)
 
+    # On TPU, jitter + moment sums ride the resample kernel's output write
+    # (the XLA tail — (3,N) threefry + 3 bank passes + a moment pass —
+    # measured ~0.3 ms of the ~2.7 ms GPS update at 2^20); the jitter
+    # stream is the TPU hardware PRNG, like the fast path's motion noise.
+    # On CPU the interpreter's PRNG emulation is degenerate (constant
+    # draws accumulate into a systematic drift), so keep the threefry tail.
+    sd = jnp.sqrt(params.res_noise_cov)
+    if jax.default_backend() == "tpu":
+        seed = jax.random.randint(
+            k_noise, (), 0, jnp.int32(2 ** 31 - 1), dtype=jnp.int32)
+        parts, sums = pf_kernels.systematic_resample_gather(
+            parts, w, k_res,
+            jitter_sd=jnp.stack([sd[0], sd[1], sd[5]]), seed=seed)
+        return parts, sums
+
     parts = pf_kernels.systematic_resample_gather(parts, w, k_res)
     n = parts.shape[1]
-    sd = jnp.sqrt(params.res_noise_cov)
     n3 = jax.random.normal(k_noise, (3, n), parts.dtype)
     parts = parts.at[0].add(n3[0] * sd[0])
     parts = parts.at[1].add(n3[1] * sd[1])

@@ -51,17 +51,27 @@ N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 _WSLACK = 384    # ancestor-window slack beyond the block width (see guard)
 
 
-def _make_resample_kernel(batch: int, W: int):
+def _make_resample_kernel(batch: int, W: int, jitter: bool = False):
     """Kernel factory: `batch` consecutive output blocks per grid step share
     ONE merged ancestor window (consecutive blocks' windows overlap heavily
     — systematic block spans partition the input), so the grid step issues
     2 DMAs instead of 2·batch and the per-step overhead (~0.6 µs) amortizes
     `batch`-fold. Each block slices its own (W,) sub-window at a 128-aligned
     offset; the caller guarantees starts[b] − head ≤ BW − W (its `fits`
-    guard routes violations to the exact fallback)."""
+    guard routes violations to the exact fallback).
 
-    def kernel(starts_ref, heads_ref, off_ref, mcum_ref, parts_ref, out_ref,
-               mwin, pwin, sems):
+    With ``jitter``, the x/y/yaw resample jitter (hardware-PRNG Box-Muller,
+    the predict kernel's stream machinery) and the post-resample lane-
+    partial moment sums ride the output write — the XLA tail (a (3,N)
+    threefry + 3 bank passes + a moment pass) measured ~0.3 ms/call of the
+    GPS update at 2^20."""
+
+    def kernel(starts_ref, heads_ref, off_ref, *rest):
+        if jitter:
+            jp_ref, seed_ref, mcum_ref, parts_ref, out_ref, sums_ref, \
+                mwin, pwin, sems = rest
+        else:
+            mcum_ref, parts_ref, out_ref, mwin, pwin, sems = rest
         c = pl.program_id(0)
         K = out_ref.shape[1] // batch
         hs = pl.multiple_of(heads_ref[c], 128)
@@ -76,6 +86,11 @@ def _make_resample_kernel(batch: int, W: int):
 
         off = off_ref[0]                    # global slot of local output 0
         jg0 = jax.lax.broadcasted_iota(jnp.int32, (W, K), 1)   # hoisted
+
+        if jitter:
+            @pl.when(c == 0)
+            def _():
+                sums_ref[:, :] = jnp.zeros_like(sums_ref)
 
         for b in range(batch):
             # A[i, j] = (m_cum[s+i] > j_global[j]); monotone in i. The cell
@@ -103,6 +118,43 @@ def _make_resample_kernel(batch: int, W: int):
             acc = dot(hi, onehot) + dot(mid, onehot) + dot(lo, onehot)
             out_ref[:, b * K:(b + 1) * K] = acc
 
+        if jitter:
+            # x/y/yaw jitter (auv_pf.py:193-198) + lane-partial moment
+            # sums, ONCE over the whole grid step. Noise blocks are
+            # (8, batch·K/8) like the predict kernel's; the rows are
+            # READ BACK from out_ref so the reshaped noise meets a clean
+            # native-layout operand (adding it to concatenated matmul
+            # outputs makes Mosaic's layout inference reject the reshape
+            # — "unsupported shape cast").
+            nK = batch * K
+            pltpu.prng_seed(seed_ref[0, 0] + c)
+            u = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits((32, nK // 8)), jnp.uint32))
+            r1 = jnp.sqrt(-2.0 * _fast_ln(u[0:8]))
+            r2 = jnp.sqrt(-2.0 * _fast_ln(u[16:24]))
+            x_n = out_ref[0, :] + (r1 * _sin2pi(u[8:16] + 0.25)).reshape(nK) \
+                * jp_ref[0, 0]
+            y_n = out_ref[1, :] + (r1 * _sin2pi(u[8:16])).reshape(nK) \
+                * jp_ref[0, 1]
+            yaw_n = out_ref[5, :] + (r2 * _sin2pi(u[24:32] + 0.25)).reshape(nK) \
+                * jp_ref[0, 2]
+            out_ref[0, :] = x_n
+            out_ref[1, :] = y_n
+            out_ref[5, :] = yaw_n
+
+            def lanes(v):
+                return jnp.sum(v.reshape(-1, 128), axis=0)
+
+            sy, cy = _sincos(yaw_n)
+            sums_ref[0, :] += lanes(x_n)
+            sums_ref[1, :] += lanes(y_n)
+            sums_ref[2, :] += lanes(x_n * x_n)
+            sums_ref[3, :] += lanes(y_n * y_n)
+            sums_ref[4, :] += lanes(x_n * y_n)
+            sums_ref[5, :] += lanes(sy)
+            sums_ref[6, :] += lanes(cy)
+            sums_ref[7, :] += jnp.full((128,), nK / 128.0, jnp.float32)
+
     return kernel
 
 
@@ -112,7 +164,12 @@ def systematic_resample_gather(
     weights: jnp.ndarray,  # (N,) normalized
     key,
     block: int = 256,
-) -> jnp.ndarray:
+    jitter_sd: jnp.ndarray = None,  # (3,) x/y/yaw stds: fuse the resample
+                                    #   jitter + moment sums into the
+                                    #   kernel's output write; returns
+                                    #   (parts, (8,128) sums) instead
+    seed=None,                      # i32 PRNG seed (with jitter_sd)
+):
     """Systematic resample + ancestor gather in one fused pass -> (6, N).
 
     Ancestors are bit-identical to ``resampling.systematic_resample`` under
@@ -139,7 +196,7 @@ def systematic_resample_gather(
 
     n = parts.shape[1]
     W = block + _wslack(block)
-    BATCH = 16
+    BATCH = 32
     # block must be a multiple of 128: the clipped window starts/heads are
     # asserted 128-aligned to the kernel (pl.multiple_of) — a non-aligned
     # W or n-W clip bound would make that hint FALSE and the DMA windows
@@ -155,8 +212,15 @@ def systematic_resample_gather(
                 f">= {block + _wslack(block)}"
             )
     n_blocks = n // block
-    batch = BATCH if (n_blocks % BATCH == 0 and n >= BATCH * block + W) else 1
-    BW = batch * block + W if batch > 1 else W
+    # merged-window size: the last block's window start sits ~(batch-1)*block
+    # past the head in expectation; give the guard ~8 sigma of span
+    # fluctuation + the head's 128-alignment waste on top of W, or the
+    # `fits` check trips on ordinary weight spread and falls back to the
+    # 179 ms exact gather (measured: margin == one block width made
+    # batch=32 fall back on most calls)
+    batch = BATCH if (n_blocks % BATCH == 0
+                      and n >= _merged_bw(BATCH, block, W)) else 1
+    BW = _merged_bw(batch, block, W) if batch > 1 else W
 
     u = jax.random.uniform(key, (), jnp.float32)
     m_cum = resampling.systematic_counts(weights, u)
@@ -187,25 +251,68 @@ def systematic_resample_gather(
         [parts.astype(jnp.float32), jnp.zeros((2, n), jnp.float32)], axis=0
     )
 
+    jitter = jitter_sd is not None
+    # the fused jitter path generates noise in (8, batch·block/8) blocks;
+    # Mosaic accepts the (8, m) -> (8m,) relayout only for m >= 1024
+    # (probed on-chip: 512 is an "unsupported shape cast"), so fuse only
+    # when the grid step spans >= 8192 outputs — production 2^20 banks run
+    # batch == 32 at block == 256; small banks jitter the plain kernel's
+    # output in XLA
+    fuse = jitter and batch * block >= 8192
+
     def fast(_):
-        return expand_gather_call(m_cum, parts8, starts,
-                                  jnp.zeros((1,), jnp.int32), n, block, W,
-                                  batch=batch, heads=heads)
+        r = expand_gather_call(m_cum, parts8, starts,
+                               jnp.zeros((1,), jnp.int32), n, block, W,
+                               batch=batch, heads=heads,
+                               jitter_sd=jitter_sd if fuse else None,
+                               seed=seed)
+        if fuse:
+            return (r[0], r[1])
+        if jitter:
+            return _xla_jitter_moments(r, jitter_sd, seed)
+        return r
 
     def exact(_):
         anc = jnp.searchsorted(
             m_cum, jnp.arange(n, dtype=jnp.int32), side="right"
         )
-        return jnp.take(parts8, anc, axis=1)
+        out = jnp.take(parts8, anc, axis=1)
+        if not jitter:
+            return out
+        return _xla_jitter_moments(out, jitter_sd, seed)
 
-    out8 = jax.lax.cond(fits, fast, exact, None)
-    return out8[0:6]
+    res = jax.lax.cond(fits, fast, exact, None)
+    if jitter:
+        return res[0][0:6], res[1]
+    return res[0:6]
+
+
+def _merged_bw(batch: int, block: int, W: int) -> int:
+    """Merged-window size: the last block's start sits ~(batch-1)*block past
+    the head, plus the head's 128-alignment waste and ~8 sigma of span
+    fluctuation (margin 768) — a one-block margin made the `fits` guard trip
+    on ordinary weight spread and fall back to the 179 ms exact gather."""
+    return batch * block + W + 768
 
 
 def _wslack(block: int) -> int:
     """Ancestor-window slack beyond the block width: 128-alignment waste
     (≤127) + within-block span fluctuation (~√(2·block), budgeted at ≥8σ)."""
     return 256 if block <= 256 else _WSLACK
+
+
+def _xla_jitter_moments(out8, jitter_sd, seed):
+    """XLA x/y/yaw jitter + moment sums for the non-fused resample paths
+    (weight-collapse fallback, batch==1 small banks). Draws threefry noise
+    — the fused kernel draws from the TPU hardware PRNG; the streams
+    legitimately differ (both are documented fast-path divergences)."""
+    n = out8.shape[1]
+    kj = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+    n3 = jax.random.normal(kj, (3, n), out8.dtype)
+    out8 = out8.at[0].add(n3[0] * jitter_sd[0])
+    out8 = out8.at[1].add(n3[1] * jitter_sd[1])
+    out8 = out8.at[5].add(n3[2] * jitter_sd[2])
+    return out8, moment_sums(out8)
 
 
 def expand_gather_call(
@@ -221,29 +328,54 @@ def expand_gather_call(
                                 #   (required for batch > 1; caller must
                                 #   guarantee starts[b] - heads[b//batch]
                                 #   <= batch*block — see the `fits` guard)
-) -> jnp.ndarray:
+    jitter_sd: jnp.ndarray = None,  # (3,) x/y/yaw jitter stds: fuse the
+                                    #   resample jitter + lane-partial
+                                    #   moment sums into the output write
+    seed=None,                      # i32 PRNG seed (required with jitter)
+):
     """The fused one-hot/MXU ancestor expansion over a particle window.
 
     Factored out of ``systematic_resample_gather`` so the distributed
     resample (``parallel.resample_dist``) can run the same kernel on a
     halo-extended shard window with a nonzero output offset (batch=1:
-    per-block windows, no merged-window precondition)."""
+    per-block windows, no merged-window precondition). Returns the (8,
+    n_out) bank — plus the (8, 128) moment sums when ``jitter_sd`` is
+    given."""
+    jitter = jitter_sd is not None
     grid = n_out // block
     if batch == 1 or grid % batch:
         batch = 1
         heads = starts
-    BW = batch * block + W if batch > 1 else W
+    BW = _merged_bw(batch, block, W) if batch > 1 else W
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, Nw) in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, Nw) in HBM
+    ]
+    out_specs = pl.BlockSpec(
+        (8, block * batch), lambda c, s, h, o: (0, c),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((8, n_out), jnp.float32)
+    args = [starts, heads, out_off, m_cum[None, :], parts8]
+    if jitter:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1, 8) f32 jitter sds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (1, 1) i32 seed
+        ] + in_specs
+        out_specs = [out_specs, pl.BlockSpec(
+            (N_SUMS, 128), lambda c, s, h, o: (0, 0),
+            memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((N_SUMS, 128), jnp.float32)]
+        jp = jnp.zeros((1, 8), jnp.float32).at[0, 0:3].set(
+            jitter_sd.astype(jnp.float32))
+        args = [starts, heads, out_off, jp,
+                jnp.asarray(seed, jnp.int32).reshape(1, 1),
+                m_cum[None, :], parts8]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid // batch,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # m_cum (1, Nw) in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # parts (8, Nw) in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (8, block * batch), lambda c, s, h, o: (0, c),
-            memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=(
             [pltpu.VMEM((1, BW), jnp.int32),
              pltpu.VMEM((8, BW), jnp.float32),
@@ -251,10 +383,10 @@ def expand_gather_call(
         ),
     )
     return pl.pallas_call(
-        _make_resample_kernel(batch, W),
+        _make_resample_kernel(batch, W, jitter=jitter),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_out), jnp.float32),
-    )(starts, heads, out_off, m_cum[None, :], parts8)
+        out_shape=out_shape,
+    )(*args)
 
 
 def _uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:

@@ -172,3 +172,21 @@ def test_systematic_resample_gather_whole_bank_window():
     anc = resampling.systematic_resample(key2, w)
     out = pf_kernels.systematic_resample_gather(parts, w, key2, block=n)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(parts[:, anc]))
+
+
+def test_systematic_resample_gather_fused_jitter_moments():
+    """jitter_sd given: the kernel fuses jitter + moment sums into the
+    output write. With sd = 0 the bank must equal the plain gather exactly
+    and the sums must match a host recomputation (poly sin/cos vs libm)."""
+    n = 16384
+    key0, key1, key2 = jax.random.split(jax.random.PRNGKey(5), 3)
+    parts = jax.random.normal(key0, (6, n))
+    w = jax.random.uniform(key1, (n,)) ** 3
+    w = w / jnp.sum(w)
+    plain = pf_kernels.systematic_resample_gather(parts, w, key2)
+    out, sums = pf_kernels.systematic_resample_gather(
+        parts, w, key2, jitter_sd=jnp.zeros(3), seed=jnp.int32(7))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+    ref_sums = pf_kernels.moment_sums(out)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
+                               rtol=2e-5, atol=2e-4)
