@@ -51,6 +51,24 @@ N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 _WSLACK = 384    # ancestor-window slack beyond the block width (see guard)
 
 
+def _accum_moments(sums_ref, base, x, y, sy, cy, count):
+    """Accumulate the 8 lane-partial moment rows (the layout of
+    ``moment_sums``/``finalize_moments``) at sums_ref[base:base+8] — shared
+    by the per-tick predict, the multi-tick predict, and the fused
+    resample-jitter tail so the row order cannot silently diverge."""
+    def lanes(v):
+        return jnp.sum(v.reshape(-1, 128), axis=0)
+
+    sums_ref[base + 0, :] += lanes(x)
+    sums_ref[base + 1, :] += lanes(y)
+    sums_ref[base + 2, :] += lanes(x * x)
+    sums_ref[base + 3, :] += lanes(y * y)
+    sums_ref[base + 4, :] += lanes(x * y)
+    sums_ref[base + 5, :] += lanes(sy)
+    sums_ref[base + 6, :] += lanes(cy)
+    sums_ref[base + 7, :] += jnp.full((128,), count, jnp.float32)
+
+
 def _make_resample_kernel(batch: int, W: int, jitter: bool = False):
     """Kernel factory: `batch` consecutive output blocks per grid step share
     ONE merged ancestor window (consecutive blocks' windows overlap heavily
@@ -142,18 +160,8 @@ def _make_resample_kernel(batch: int, W: int, jitter: bool = False):
             out_ref[1, :] = y_n
             out_ref[5, :] = yaw_n
 
-            def lanes(v):
-                return jnp.sum(v.reshape(-1, 128), axis=0)
-
             sy, cy = _sincos(yaw_n)
-            sums_ref[0, :] += lanes(x_n)
-            sums_ref[1, :] += lanes(y_n)
-            sums_ref[2, :] += lanes(x_n * x_n)
-            sums_ref[3, :] += lanes(y_n * y_n)
-            sums_ref[4, :] += lanes(x_n * y_n)
-            sums_ref[5, :] += lanes(sy)
-            sums_ref[6, :] += lanes(cy)
-            sums_ref[7, :] += jnp.full((128,), nK / 128.0, jnp.float32)
+            _accum_moments(sums_ref, 0, x_n, y_n, sy, cy, nK / 128.0)
 
     return kernel
 
@@ -189,8 +197,8 @@ def systematic_resample_gather(
 
     The one-hot cell build is O(N·W) VPU work (W = block + slack, slack
     fixed), which favors small blocks; per-block MXU latency favors large
-    ones. Measured at 2^20 (merged batch window, 16 blocks / 2 DMAs per
-    grid step): block 128 -> 3.50 ms, 256 -> 2.37 ms, 512 -> 2.58 ms,
+    ones. Swept at 2^20 (merged batch window, now 32 blocks / 2 DMAs per
+    grid step): block 128 -> 3.46 ms, 256 -> 2.32 ms, 512 -> 2.54 ms,
     1024 -> 4.28 ms per resample; 256 is the knee."""
     from . import resampling
 
@@ -511,17 +519,7 @@ def _kernel(params_ref, seed_ref, parts_ref, out_ref, sums_ref):
     def _():
         sums_ref[:, :] = jnp.zeros_like(sums_ref)
 
-    def lanes(v):
-        return jnp.sum(v.reshape(-1, 128), axis=0)
-
-    sums_ref[0, :] += lanes(x_n)
-    sums_ref[1, :] += lanes(y_n)
-    sums_ref[2, :] += lanes(x_n * x_n)
-    sums_ref[3, :] += lanes(y_n * y_n)
-    sums_ref[4, :] += lanes(x_n * y_n)
-    sums_ref[5, :] += lanes(sy)
-    sums_ref[6, :] += lanes(cy)
-    sums_ref[7, :] += jnp.full((128,), n / 128.0, jnp.float32)
+    _accum_moments(sums_ref, 0, x_n, y_n, sy, cy, n / 128.0)
 
 
 def _make_kernel_multi(nxy: bool, nyaw_on: bool):
@@ -553,9 +551,6 @@ def _make_kernel_multi(nxy: bool, nyaw_on: bool):
         @pl.when(pid == 0)
         def _():
             sums_ref[:, :] = jnp.zeros_like(sums_ref)
-
-        def lanes(v):
-            return jnp.sum(v.reshape(-1, 128), axis=0)
 
         # Noise math runs on (8, n/8) blocks: a (1,n)-shaped row uses one of
         # the VPU's 8 sublanes (measured 11x slower); full-sublane blocks +
@@ -594,15 +589,7 @@ def _make_kernel_multi(nxy: bool, nyaw_on: bool):
             roll_v = jnp.where(subst, jnp.full_like(x, roll), roll_v)
             pitch_v = jnp.where(subst, jnp.full_like(x, pitch), pitch_v)
 
-            base = t * N_SUMS
-            sums_ref[base + 0, :] += lanes(x)
-            sums_ref[base + 1, :] += lanes(y)
-            sums_ref[base + 2, :] += lanes(x * x)
-            sums_ref[base + 3, :] += lanes(y * y)
-            sums_ref[base + 4, :] += lanes(x * y)
-            sums_ref[base + 5, :] += lanes(sy)
-            sums_ref[base + 6, :] += lanes(cy)
-            sums_ref[base + 7, :] += jnp.full((128,), n / 128.0, jnp.float32)
+            _accum_moments(sums_ref, t * N_SUMS, x, y, sy, cy, n / 128.0)
 
         out_ref[0, :] = x
         out_ref[1, :] = y
