@@ -41,12 +41,27 @@ def main(path=None):
 
     run = jax.jit(lambda s: pf_kernels.predict_call(parts0, par16, s)[0])
 
-    streams = {"x": [], "y": [], "yaw": []}
+    streams = {"x": [], "y": [], "yaw": [],
+               "jit_x": [], "jit_y": [], "jit_yaw": []}
     for t in range(ticks):
         out = np.asarray(run(jnp.asarray(7_000_000 + t * 1013, jnp.int32)))
         streams["x"].append(out[0])
         streams["y"].append(out[1])
         streams["yaw"].append(out[5] / 0.1)
+
+    # the fused resample-jitter stream at ITS production layout
+    # ((32, batch*block/8) blocks, one seed per grid step): uniform weights
+    # over a zero bank make the gather the identity, so the output rows are
+    # pure jitter noise
+    w_uni = jnp.full((n,), 1.0 / n, jnp.float32)
+    sd3 = jnp.asarray([1.0, 1.0, 0.1], jnp.float32)
+    runj = jax.jit(lambda s: pf_kernels.systematic_resample_gather(
+        parts0, w_uni, jax.random.PRNGKey(0), jitter_sd=sd3, seed=s)[0])
+    for t in range(ticks):
+        out = np.asarray(runj(jnp.asarray(3_000_000 + t * 1013, jnp.int32)))
+        streams["jit_x"].append(out[0])
+        streams["jit_y"].append(out[1])
+        streams["jit_yaw"].append(out[5] / 0.1)
 
     edges = np.array([-np.inf, -3, -2.5, -2, -1.5, -1, -0.5, 0,
                       0.5, 1, 1.5, 2, 2.5, 3, np.inf])
