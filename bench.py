@@ -110,7 +110,6 @@ def main():
     from smarc_navigation_tpu.models import particle_filter as pf
     from smarc_navigation_tpu.ops.timeline import build_timeline
     from smarc_navigation_tpu.parallel import fleet
-    from smarc_navigation_tpu.utils.geometry import quat_from_rpy
 
     dev = jax.devices()[0]
     print(f"# device: {dev}  budget: {BUDGET_S:.0f}s", file=sys.stderr)
@@ -121,62 +120,21 @@ def main():
         # content depends only on (system_freq, max_obs, duration, B) — the
         # SLAM configs benched here share freq/max_obs, so cache on
         # (duration, B) and spare the single host core rebuilding the same
-        # missions for the L=64, L=256 and combined sections
+        # missions for the L=64, L=256 and combined sections. The builder
+        # itself is shared with scripts/probe_combined.py (io.workloads) so
+        # the probe's decomposition always measures THIS workload.
+        from smarc_navigation_tpu.io import workloads
+
         ck = (cfg.system_freq, cfg.max_obs, duration, B)
-        if ck in _tl_cache:
-            return _tl_cache[ck]
-        tls = []
-        for b in range(min(B, 16)):  # 16 distinct missions, tiled to B
-            m = sim.simulate(
-                sim.MissionSpec(
-                    duration_s=duration,
-                    num_landmarks=20,
-                    mbes_std=0.05,
-                    landmark_area_m=60.0,
-                    mbes_range_m=30.0,
-                    gps_surface_z=-100.0,
-                    gps_std=0.3,
-                    seed=b,
-                )
-            )
-            ticks = np.arange(0, duration + 1e-9, 1.0 / cfg.system_freq)
-            gt = m.gt_at(ticks)
-            quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
-            k = np.clip((ticks * m.spec.sim_hz).astype(int), 0, len(m.t) - 1)
-            odom13 = np.concatenate(
-                [gt[:, 0:3], quat, m.vel_body[k], m.gyro[k]], axis=1
-            )
-            det = m.streams["mbes_detections"]
-            gps = m.streams["gps"]
-            tls.append(
-                build_timeline(
-                    t0=0.0,
-                    t1=duration,
-                    freq_hz=cfg.system_freq,
-                    channels={
-                        "odom": (ticks, odom13),
-                        "gps": (gps["stamps"], gps["values"]),
-                        "diving": (ticks, np.zeros((len(ticks), 1))),
-                    },
-                    events={
-                        "mbes": (det["stamps"], det["values"], det["burst"], cfg.max_obs)
-                    },
-                )
-            )
-        tls = (tls * ((B + len(tls) - 1) // len(tls)))[:B]
-        _tl_cache[ck] = fleet.batch_timelines(tls)
+        if ck not in _tl_cache:
+            _tl_cache[ck] = workloads.slam_fleet_timelines(cfg, duration, B)
         return _tl_cache[ck]
 
     # ---- 1. EKF-SLAM fleet (headline: L=64 working shapes) --------------------
     def sec_slam_headline():
-        cfg = dataclasses.replace(
-            EKFSlamConfig(),
-            max_landmarks=64,
-            max_obs=8,
-            mhl_dist_mbes=1.0,
-            q_mbes_diag=(0.1, 0.1, 0.1),
-            r_diag=(1e-3,) * 6,
-        )
+        from smarc_navigation_tpu.io.workloads import combined_slam_cfg
+
+        cfg = combined_slam_cfg()
         B = 128
         slam_params = slam.make_params(cfg)
 
@@ -240,24 +198,18 @@ def main():
 
     # ---- 3. combined north star: 1M-particle MCL + EKF-SLAM, same mission ----
     def sec_combined():
+        from smarc_navigation_tpu.io import workloads
         from smarc_navigation_tpu.parallel.fleet import run_combined
 
         n_particles = 1_048_576
         pf_cfg = PFConfig(particle_count=n_particles)
         pf_params = pf.make_params(pf_cfg)
-        cfg = dataclasses.replace(
-            EKFSlamConfig(), max_landmarks=64, max_obs=8,
-            mhl_dist_mbes=1.0, q_mbes_diag=(0.1, 0.1, 0.1), r_diag=(1e-3,) * 6,
-        )
+        cfg = workloads.combined_slam_cfg()
         slam_params = slam.make_params(cfg)
 
         def mk(duration):
-            tl_slam = slam_timelines(cfg, duration, 1)
-            m = sim.simulate(
-                sim.MissionSpec(duration_s=duration, seed=3, gps_surface_z=-100.0)
-            )
-            tl_pf = pf.pf_timeline(m, freq_hz=10.0)
-            return tl_slam, tl_pf
+            # shared with scripts/probe_combined.py — keep them identical
+            return workloads.combined_workload(cfg, duration)
 
         run_c = lambda ts, tp: run_combined(  # noqa: E731
             ts, tp, slam_params, cfg, pf_params, pf_cfg, n_particles)
@@ -466,7 +418,43 @@ def main():
 
     section("raycast-fleet", sec_raycast, floor_s=40.0)
 
-    # ---- 7. 15-state dual EKF fleet (lanes kernel) ----------------------------
+    # ---- 7. closed-form SAM dead-reckoning fleet ------------------------------
+    # (runs BEFORE the ekf15 chains: round-3 lesson — sec_ekf15 burned 69 s
+    # and left <30 s, so the cheapest section never recorded its number)
+    def sec_dr():
+        from smarc_navigation_tpu.models import dead_reckoning as dr_mod
+
+        # a single replay is below timing resolution (~0.3 us per 256-mission
+        # tick) — chain 32 data-dependent replays so the slope is measurable
+        REPS_DR = 32
+
+        @jax.jit
+        def fndr(t):
+            def body(acc, _):
+                t2 = jax.tree_util.tree_map(
+                    lambda x: x + acc.astype(x.dtype) * 1e-30
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+                return acc + jnp.sum(dr_mod.run_sam_dr_vectorized(t2)), None
+            acc, _ = jax.lax.scan(
+                body, jnp.asarray(0.0, jnp.float32), None, length=REPS_DR)
+            return acc
+
+        rdr, Tdr = {}, {}
+        for dur, key in ((15.0, "s"), (120.0, "b")):
+            mdr = sim.simulate(sim.MissionSpec(duration_s=dur, seed=9))
+            btdr = fleet.batch_timelines([dr_mod.sam_timeline(mdr)] * 256)
+            Tdr[key] = int(btdr.ticks.shape[1])
+            rdr[key] = timed(fndr, btdr)
+        perdr = max(rdr["b"] - rdr["s"], 1e-9) / (Tdr["b"] - Tdr["s"]) / REPS_DR
+        RESULT["secondary"]["sam_dr_ticks_per_sec_fleet256"] = round(256 / perdr, 1)
+        print(
+            f"# sam-dr fleet (closed form): 256 missions, {perdr*1e6:.3f} "
+            f"us/fleet-tick -> {256/perdr:,.3g} ticks/s", file=sys.stderr,
+        )
+
+    section("sam-dr-fleet", sec_dr, floor_s=30.0)
+
+    # ---- 8. 15-state dual EKF fleet (lanes kernel) ----------------------------
     def sec_ekf15():
         from smarc_navigation_tpu.models import ekf_15state as e15
         from smarc_navigation_tpu.ops import ekf15_kernels
@@ -521,40 +509,6 @@ def main():
         )
 
     section("ekf15-fleet", sec_ekf15, floor_s=40.0)
-
-    # ---- 8. closed-form SAM dead-reckoning fleet ------------------------------
-    def sec_dr():
-        from smarc_navigation_tpu.models import dead_reckoning as dr_mod
-
-        # a single replay is below timing resolution (~0.3 us per 256-mission
-        # tick) — chain 32 data-dependent replays so the slope is measurable
-        REPS_DR = 32
-
-        @jax.jit
-        def fndr(t):
-            def body(acc, _):
-                t2 = jax.tree_util.tree_map(
-                    lambda x: x + acc.astype(x.dtype) * 1e-30
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-                return acc + jnp.sum(dr_mod.run_sam_dr_vectorized(t2)), None
-            acc, _ = jax.lax.scan(
-                body, jnp.asarray(0.0, jnp.float32), None, length=REPS_DR)
-            return acc
-
-        rdr, Tdr = {}, {}
-        for dur, key in ((15.0, "s"), (120.0, "b")):
-            mdr = sim.simulate(sim.MissionSpec(duration_s=dur, seed=9))
-            btdr = fleet.batch_timelines([dr_mod.sam_timeline(mdr)] * 256)
-            Tdr[key] = int(btdr.ticks.shape[1])
-            rdr[key] = timed(fndr, btdr)
-        perdr = max(rdr["b"] - rdr["s"], 1e-9) / (Tdr["b"] - Tdr["s"]) / REPS_DR
-        RESULT["secondary"]["sam_dr_ticks_per_sec_fleet256"] = round(256 / perdr, 1)
-        print(
-            f"# sam-dr fleet (closed form): 256 missions, {perdr*1e6:.3f} "
-            f"us/fleet-tick -> {256/perdr:,.3g} ticks/s", file=sys.stderr,
-        )
-
-    section("sam-dr-fleet", sec_dr, floor_s=30.0)
 
     emit()
 
