@@ -167,6 +167,30 @@ def main():
         pf_cfg = PFConfig(particle_count=n_particles)
         pf_params = pf.make_params(pf_cfg)
 
+        # pod-composition assert (round-3 verdict #2): the explicit-
+        # collectives distributed resample with the Pallas shard body — the
+        # code path a multi-chip pod executes — runs HERE on a particle=1
+        # mesh and must be bitwise the single-device sampler. CPU fallback
+        # uses the XLA shard body (interpret-mode Pallas deadlocks inside
+        # shard_map).
+        from smarc_navigation_tpu.ops import resampling
+        from smarc_navigation_tpu.parallel import mesh as mesh_lib
+        from smarc_navigation_tpu.parallel import resample_dist
+
+        pm1 = mesh_lib.make_mesh(mission=1, particle=1)
+        nd = 1 << 17
+        kd = jax.random.PRNGKey(123)
+        pd = jax.random.normal(jax.random.PRNGKey(1), (6, nd), jnp.float32)
+        wd = resampling.normalize_weights_det(
+            jax.random.uniform(jax.random.PRNGKey(2), (nd,), jnp.float32))
+        ref = jnp.take(pd, resampling.systematic_resample(kd, wd), axis=1)
+        got = resample_dist.systematic_resample_gather_dist(
+            pd, wd, kd, pm1, use_pallas=jax.default_backend() == "tpu")
+        assert (np.asarray(got) == np.asarray(ref)).all(), (
+            "distributed resample drifted from the single-device sampler")
+        print("# dist-resample pod path: bitwise OK (particle=1 mesh, "
+              f"pallas={jax.default_backend() == 'tpu'})", file=sys.stderr)
+
         def pf_tl(duration):
             m = sim.simulate(
                 sim.MissionSpec(duration_s=duration, seed=3, gps_surface_z=-100.0)

@@ -206,10 +206,16 @@ def update_resample(
     # whole bank through logsumexp (NaNs otherwise wash through to garbage
     # ancestor indices)
     logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
-    # reference floor: weights += 1e-200 then normalize (auv_pf.py:163-166)
-    w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
-    w = w + 1e-30
-    w = w / jnp.sum(w)
+    # Layout-invariant normalization (round-4 finding): with jnp.sum /
+    # logsumexp here, GSPMD legally rewrites the reduction into
+    # local-reduce + all-reduce under a pmesh — even across an explicit
+    # replication constraint — and a one-ulp weight difference flips an
+    # ancestor at a stratum boundary (~0.02% of columns per update at
+    # 2^14, cascading through later CDFs). The order-pinned halving-tree
+    # normalization makes the weights, hence the ancestors, hence the
+    # whole update bit-identical between sharded and unsharded programs
+    # (tests/test_pf_pmesh.py asserts it along a full mission).
+    w = resampling.normalize_weights_det(logw)
 
     if pmesh is not None and scheme == "systematic":
         # multi-chip bank: distributed resample with explicit collectives
@@ -255,6 +261,7 @@ def step(
     tick,
     scheme: str = "residual",
     use_pallas: bool = False,
+    pmesh=None,
 ):
     """One PF tick: predict on fresh odometry, GPS update+resample when a
     fresh fix arrives and the vehicle is not diving.
@@ -263,6 +270,11 @@ def step(
     TPU kernel (ops.pf_kernels) — one HBM pass over the bank instead of
     separate noise/motion/reduction passes (~1.7x per-tick speedup at 10^6
     particles; hardware PRNG stream instead of threefry).
+
+    ``pmesh``: mesh with a ``particle`` axis — the bank is sharded across
+    chips and the (systematic) resample runs through the explicit-
+    collectives distributed kernel (``parallel.resample_dist``) instead of
+    GSPMD gathers; everything else shards elementwise.
     """
     odom = tick.channels["odom"]     # 13-dim [pos3, quat4, v3, w3]
     gps = tick.channels["gps"]       # 2-dim map-frame fix
@@ -301,7 +313,8 @@ def step(
     do_update = gps.fresh & (diving.value[0] < 0.5)
     new_state = jax.lax.cond(
         do_update,
-        lambda s: update_resample(s, gps.value[0:2], params, scheme, use_pallas),
+        lambda s: update_resample(
+            s, gps.value[0:2], params, scheme, use_pallas, pmesh=pmesh),
         lambda s: s,
         pred,
     )
@@ -364,6 +377,139 @@ def _update_resample_fast(parts, gps_map_xy, k_res, k_noise, params):
     return parts, pf_kernels.moment_sums(parts)
 
 
+def _update_resample_fast_shard(parts, gps_map_xy, k_res, k_noise, params,
+                                axis_name):
+    """Shard body of the GPS update for the mesh-sharded fast paths (runs
+    inside ``shard_map`` over the particle axis): globally-normalized
+    weights via pmax/psum, the explicit-collectives distributed resample
+    (``parallel.resample_dist.systematic_gather_shard`` — blocked-CDF
+    prefix all-gather, ppermute halo, local one-hot/MXU expansion), then
+    per-shard threefry x/y/yaw jitter and LOCAL lane-partial moment sums
+    (the caller psums them once at scan end).
+
+    Divergences from the single-device `_update_resample_fast`, both
+    benign: (a) the weight normalization reduces per-shard then psums, so
+    weights can differ from the single-device order by f32 ulps; (b) the
+    jitter stream is per-shard threefry (fold_in by shard index), not the
+    fused hardware-PRNG ride-along. Ancestor derivation itself is the
+    shared blocked summation tree — bit-identical given equal weights."""
+    from ..ops import pf_kernels
+    from ..parallel import resample_dist
+
+    pos_map = params.r_m2o @ parts[0:3] + params.t_m2o[:, None]
+    dx = gps_map_xy[0] - pos_map[0]
+    dy = gps_map_xy[1] - pos_map[1]
+    logw = -0.5 * (dx * dx + dy * dy) / params.meas_var
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+    gmax = jax.lax.pmax(jnp.max(logw), axis_name)
+    e = jnp.exp(logw - gmax)
+    w = e / jax.lax.psum(jnp.sum(e), axis_name)
+    w = w + 1e-30
+    w = w / jax.lax.psum(jnp.sum(w), axis_name)
+
+    parts = resample_dist.systematic_gather_shard(
+        parts, w, k_res, axis_name=axis_name,
+        use_pallas=jax.default_backend() == "tpu")
+
+    s = jax.lax.axis_index(axis_name)
+    sd = jnp.sqrt(params.res_noise_cov)
+    n3 = jax.random.normal(
+        jax.random.fold_in(k_noise, s), (3, parts.shape[1]), parts.dtype)
+    parts = parts.at[0].add(n3[0] * sd[0])
+    parts = parts.at[1].add(n3[1] * sd[1])
+    parts = parts.at[5].add(n3[2] * sd[5])
+    return parts, pf_kernels.moment_sums(parts)
+
+
+_sharded_runner_cache: dict = {}
+
+
+def _sharded_runner(pmesh, chunk: int, segmented: bool, nxy: bool = True,
+                    nyaw_on: bool = True):
+    """Jitted shard_map runner for the mesh-sharded fast paths, cached per
+    (mesh, chunk, variant) so repeated replays reuse the compiled program.
+
+    The WHOLE mission scan lives inside one shard_map over the particle
+    axis: each shard scans its (6, Ns) bank columns through the fused
+    Pallas predict kernel locally and through the distributed-resample
+    shard body on GPS ticks. Per-shard PRNG seeds are offset by the
+    shard's global chunk index, so (when Ns is a chunk multiple) the
+    hardware-PRNG motion-noise stream is IDENTICAL to the unsharded
+    kernel's — sharding changes the jitter stream and f32 reduction
+    order only."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import PARTICLE_AXIS
+
+    ck = (pmesh, chunk, segmented, nxy, nyaw_on)
+    cached = _sharded_runner_cache.get(ck)
+    if cached is not None:
+        return cached
+
+    from ..ops import pf_kernels
+
+    def tick_body(parts, params, par16, seeds, do_update, gps_xy,
+                  res_keys, noise_keys):
+        blocks = parts.shape[1] // chunk
+        seed_off = jax.lax.axis_index(PARTICLE_AXIS) * blocks
+
+        def body(ps, xs):
+            p16, seed, upd, gxy, kr, kn = xs
+            ps, sums = pf_kernels.predict_call(
+                ps, p16, seed + seed_off, chunk=chunk)
+            ps, sums = jax.lax.cond(
+                upd,
+                lambda a: _update_resample_fast_shard(
+                    a[0], gxy, kr, kn, params, PARTICLE_AXIS),
+                lambda a: a,
+                (ps, sums),
+            )
+            return ps, sums
+
+        final, sums_t = jax.lax.scan(
+            body, parts, (par16, seeds, do_update, gps_xy, res_keys,
+                          noise_keys))
+        return final, jax.lax.psum(sums_t, PARTICLE_AXIS)
+
+    def seg_body(parts, params, seg_par, seg_seeds, upd_seg, seg_gps,
+                 seg_kr, seg_kn, upd_slot):
+        blocks = parts.shape[1] // chunk
+        seed_off = jax.lax.axis_index(PARTICLE_AXIS) * blocks
+
+        def body(ps, xs):
+            p16, sds, upd, gxy, kr, kn, uslot = xs
+            ps, sums = pf_kernels.predict_call_multi(
+                ps, p16, sds + seed_off, chunk=chunk, nxy=nxy, nyaw=nyaw_on)
+
+            def do_upd(args):
+                p, s = args
+                p2, s2 = _update_resample_fast_shard(
+                    p, gxy, kr, kn, params, PARTICLE_AXIS)
+                return p2, s.at[uslot].set(s2)
+
+            ps, sums = jax.lax.cond(upd, do_upd, lambda a: a, (ps, sums))
+            return ps, sums
+
+        final, sums_sk = jax.lax.scan(
+            body, parts,
+            (seg_par, seg_seeds, upd_seg, seg_gps, seg_kr, seg_kn, upd_slot))
+        return final, jax.lax.psum(sums_sk, PARTICLE_AXIS)
+
+    shard_body = seg_body if segmented else tick_body
+    n_rep = 8 if segmented else 7  # replicated operand count after parts
+    fn = jax.jit(shard_map(
+        shard_body,
+        mesh=pmesh,
+        in_specs=(P(None, PARTICLE_AXIS),) + (P(),) * n_rep,
+        out_specs=(P(None, PARTICLE_AXIS), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False,
+    ))
+    _sharded_runner_cache[ck] = fn
+    return fn
+
+
 def _tick_precompute(timeline: Timeline, params: PFParams, key):
     """Vectorized per-tick scalar math shared by the fast paths: par16 rows,
     seeds, gating flags, update keys."""
@@ -422,15 +568,10 @@ def _segment_plan(upd: np.ndarray, k_max: int):
     return segs
 
 
-@functools.partial(jax.jit, static_argnames=("nxy", "nyaw_on"))
-def _run_segments(timeline, params, key, s0_particles,
-                  idx_j, valid_j, upd_seg_j, upd_tick_j, upd_slot_j,
-                  flat_slot_j, nxy, nyaw_on):
-    """Jitted segment scan for ``run_fast_segmented`` (module-level so the
-    jit cache persists across calls)."""
-    from ..ops import pf_kernels
-
-    S, K = idx_j.shape
+@jax.jit
+def _segment_inputs(timeline, params, key, idx_j, valid_j, upd_tick_j):
+    """Per-segment scan inputs from the tick precompute — shared by the
+    single-device jitted segment scan and the mesh-sharded runner."""
     (par16, seeds, _do_update, gps_xy, res_keys, noise_keys,
      vals, rpy, lf, key) = _tick_precompute(timeline, params, key)
 
@@ -444,6 +585,22 @@ def _run_segments(timeline, params, key, s0_particles,
     seg_gps = gps_xy[upd_tick_j]                  # (S, 2)
     seg_kr = res_keys[upd_tick_j]
     seg_kn = noise_keys[upd_tick_j]
+    return (seg_par, seg_seeds, seg_gps, seg_kr, seg_kn,
+            vals, rpy, lf, key)
+
+
+@functools.partial(jax.jit, static_argnames=("nxy", "nyaw_on"))
+def _run_segments(timeline, params, key, s0_particles,
+                  idx_j, valid_j, upd_seg_j, upd_tick_j, upd_slot_j,
+                  flat_slot_j, nxy, nyaw_on):
+    """Jitted segment scan for ``run_fast_segmented`` (module-level so the
+    jit cache persists across calls)."""
+    from ..ops import pf_kernels
+
+    S, K = idx_j.shape
+    (seg_par, seg_seeds, seg_gps, seg_kr, seg_kn,
+     vals, rpy, lf, key) = _segment_inputs(
+        timeline, params, key, idx_j, valid_j, upd_tick_j)
 
     def body(parts, xs):
         p16, sds, upd, gxy, kr, kn, uslot = xs
@@ -477,6 +634,7 @@ def run_fast_segmented(
     n_particles: int | None = None,
     key=None,
     k_max: int = 12,
+    pmesh=None,
 ):
     """Segmented TPU fast path: the mission is split (on host, from the
     concrete timeline) into predict runs that end at each GPS-update tick,
@@ -484,7 +642,10 @@ def run_fast_segmented(
     held in VMEM — HBM traffic and dispatch overhead amortize over the run.
 
     Requires a concrete (non-traced) timeline; semantics match ``run_fast``
-    (update-tick moments are reported post-resample)."""
+    (update-tick moments are reported post-resample). With ``pmesh`` the
+    bank shards over the mesh's particle axis and the whole segment scan
+    runs inside one shard_map: local multi-tick predict kernels + the
+    explicit-collectives distributed resample (``_sharded_runner``)."""
     from ..ops import pf_kernels
 
     n = cfg.particle_count if n_particles is None else n_particles
@@ -535,10 +696,35 @@ def run_fast_segmented(
         nxy = nyaw_on = True
 
     s0 = init_state(n, params, key)
-    final_parts, mean, cov, t_prev, key = _run_segments(
-        timeline, params, key, s0.particles,
-        idx_j, valid_j, upd_seg_j, upd_tick_j, upd_slot_j, flat_slot_j,
-        nxy=nxy, nyaw_on=nyaw_on)
+    if pmesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import PARTICLE_AXIS
+
+        P_ = pmesh.shape[PARTICLE_AXIS]
+        if n % P_:
+            raise ValueError(f"particle count {n} not divisible by "
+                             f"particle axis {P_}")
+        chunk = min(64 * 1024, n // P_)
+        (seg_par, seg_seeds, seg_gps, seg_kr, seg_kn,
+         vals, rpy, lf, key) = _segment_inputs(
+            timeline, params, key, idx_j, valid_j, upd_tick_j)
+        parts0 = jax.device_put(
+            s0.particles, NamedSharding(pmesh, P(None, PARTICLE_AXIS)))
+        runner = _sharded_runner(pmesh, chunk, segmented=True,
+                                 nxy=nxy, nyaw_on=nyaw_on)
+        final_parts, sums_sk = runner(
+            parts0, params, seg_par, seg_seeds, upd_seg_j, seg_gps,
+            seg_kr, seg_kn, upd_slot_j)
+        sums_t = sums_sk.reshape(S * K, pf_kernels.N_SUMS, 128)[flat_slot_j]
+        mean, cov = pf_kernels.finalize_moments(
+            sums_t, vals[:, 2], rpy[:, 0], rpy[:, 1])
+        t_prev = lf[-1]
+    else:
+        final_parts, mean, cov, t_prev, key = _run_segments(
+            timeline, params, key, s0.particles,
+            idx_j, valid_j, upd_seg_j, upd_tick_j, upd_slot_j, flat_slot_j,
+            nxy=nxy, nyaw_on=nyaw_on)
     out = {"mean": mean, "cov": cov, "updated": jnp.asarray(upd_host)}
     final = PFState(particles=final_parts, key=key, t_prev=t_prev)
     return final, out
@@ -550,6 +736,7 @@ def run_fast(
     cfg: PFConfig = PFConfig(),
     n_particles: int | None = None,
     key=None,
+    pmesh=None,
 ):
     """TPU fast path of ``run``: identical filter semantics, restructured for
     the scan-dispatch floor (~50 us/iteration on this backend).
@@ -558,7 +745,8 @@ def run_fast(
     (dt from a cummax of fresh-odom stamps, rpy, seeds, gating flags); the
     scan body is one fused Pallas predict + a rare resample cond; moment
     finalization happens vectorized after the scan from the stacked
-    lane-partial sums."""
+    lane-partial sums. With ``pmesh`` the whole scan runs inside one
+    shard_map over the particle axis (``_sharded_runner``)."""
     from ..ops import pf_kernels
 
     n = cfg.particle_count if n_particles is None else n_particles
@@ -568,21 +756,38 @@ def run_fast(
     (par16, seeds, do_update, gps_xy, res_keys, noise_keys,
      vals, rpy, lf, key) = _tick_precompute(timeline, params, key)
 
-    def body(parts, xs):
-        p16, seed, upd, gxy, kr, kn = xs
-        parts, sums = pf_kernels.predict_call(parts, p16, seed)
-        parts, sums = jax.lax.cond(
-            upd,
-            lambda a: _update_resample_fast(a[0], gxy, kr, kn, params),
-            lambda a: a,
-            (parts, sums),
-        )
-        return parts, sums
+    if pmesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    final_parts, sums_t = jax.lax.scan(
-        body, s0.particles,
-        (par16, seeds, do_update, gps_xy, res_keys, noise_keys),
-    )
+        from ..parallel.mesh import PARTICLE_AXIS
+
+        P_ = pmesh.shape[PARTICLE_AXIS]
+        if n % P_:
+            raise ValueError(f"particle count {n} not divisible by "
+                             f"particle axis {P_}")
+        chunk = min(64 * 1024, n // P_)
+        parts0 = jax.device_put(
+            s0.particles, NamedSharding(pmesh, P(None, PARTICLE_AXIS)))
+        runner = _sharded_runner(pmesh, chunk, segmented=False)
+        final_parts, sums_t = runner(
+            parts0, params, par16, seeds, do_update, gps_xy, res_keys,
+            noise_keys)
+    else:
+        def body(parts, xs):
+            p16, seed, upd, gxy, kr, kn = xs
+            parts, sums = pf_kernels.predict_call(parts, p16, seed)
+            parts, sums = jax.lax.cond(
+                upd,
+                lambda a: _update_resample_fast(a[0], gxy, kr, kn, params),
+                lambda a: a,
+                (parts, sums),
+            )
+            return parts, sums
+
+        final_parts, sums_t = jax.lax.scan(
+            body, s0.particles,
+            (par16, seeds, do_update, gps_xy, res_keys, noise_keys),
+        )
 
     mean, cov = pf_kernels.finalize_moments(
         sums_t, vals[:, 2], rpy[:, 0], rpy[:, 1])
@@ -600,13 +805,20 @@ def run(
     scheme: str = "residual",
     use_pallas: bool = False,
     segmented: bool | None = None,
+    pmesh=None,
 ):
     """Full-mission PF replay. ``use_pallas=True`` with scheme="systematic"
     takes the TPU fast paths; ``segmented`` picks between them explicitly
     (True = host-segmented multi-tick kernel, needs a concrete timeline;
     False = per-tick fused kernel scan; None = segmented when the timeline
     is concrete). Both fast paths report post-resample moments on update
-    ticks, matching the dense scan."""
+    ticks, matching the dense scan.
+
+    ``pmesh``: a mesh with a ``particle`` axis shards the bank across
+    chips. The fast paths run the whole scan inside one shard_map (local
+    Pallas predict + the explicit-collectives distributed resample of
+    ``parallel.resample_dist``); the dense path shards via GSPMD with the
+    systematic resample routed through the same distributed kernel."""
     if use_pallas and scheme == "systematic":
         concrete = not isinstance(timeline.ticks, jax.core.Tracer)
         if segmented is None:
@@ -617,14 +829,22 @@ def run(
                     "segmented=True needs a concrete (non-traced) timeline")
             # host-side GPS segmentation enables the multi-tick kernel
             # (HBM traffic + dispatch amortize per run)
-            return run_fast_segmented(timeline, params, cfg, n_particles, key)
-        return run_fast(timeline, params, cfg, n_particles, key)
+            return run_fast_segmented(timeline, params, cfg, n_particles, key,
+                                      pmesh=pmesh)
+        return run_fast(timeline, params, cfg, n_particles, key, pmesh=pmesh)
 
     n = cfg.particle_count if n_particles is None else n_particles
     s0 = init_state(n, params, key)
+    if pmesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import PARTICLE_AXIS
+
+        s0 = s0._replace(particles=jax.device_put(
+            s0.particles, NamedSharding(pmesh, P(None, PARTICLE_AXIS))))
 
     def body(state, tick):
-        return step(cfg, params, state, tick, scheme, use_pallas)
+        return step(cfg, params, state, tick, scheme, use_pallas, pmesh=pmesh)
 
     return jax.lax.scan(body, s0, timeline)
 

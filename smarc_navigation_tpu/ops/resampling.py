@@ -38,6 +38,38 @@ def blocked_cdf(weights: jnp.ndarray) -> jnp.ndarray:
     return (rowcum + prefix[:, None]).reshape(n)
 
 
+def tree_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit-deterministic sum of a 1-D vector: an explicit radix-2 halving
+    tree (zero-padded to a power of two). Every addition is an elementwise
+    op whose order is pinned by the program DAG, so the f32 result is
+    bit-identical under ANY sharding/layout — unlike ``jnp.sum``, whose
+    reduction GSPMD legally reassociates into local-reduce + all-reduce
+    (measured: one-ulp weight drift flips systematic-resample ancestors at
+    stratum boundaries, ~0.02%/update at 2^14)."""
+    n = x.shape[0]
+    p = 1 << max(n - 1, 0).bit_length()
+    if p != n:
+        x = jnp.concatenate([x, jnp.zeros((p - n,), x.dtype)])
+    while p > 1:
+        p //= 2
+        x = x[:p] + x[p:]
+    return x[0]
+
+
+def normalize_weights_det(logw: jnp.ndarray) -> jnp.ndarray:
+    """Layout-invariant weight normalization: exp(logw − max) scaled by
+    ``tree_sum``, with the reference's additive floor (``auv_pf.py:163-166``
+    adds 1e-200 then renormalizes; 1e-30 here — f32). ``jnp.max`` is exactly
+    associative, the tree sums are order-pinned, and the elementwise tail is
+    layout-independent — so a sharded bank produces bitwise the same weights
+    (hence the same ancestors) as the single-device program."""
+    m = jnp.max(logw)
+    e = jnp.exp(logw - m)
+    w = e / tree_sum(e)
+    w = w + 1e-30
+    return w / tree_sum(w)
+
+
 def systematic_counts(weights: jnp.ndarray, u) -> jnp.ndarray:
     """Monotone cumulative ancestor counts m_cum[i] = #outputs owned by
     ancestors 0..i (ints ending at N): cummax(clip(ceil(N·cdf − u))).

@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import resampling
 
-from .mesh import PARTICLE_AXIS
+from .mesh import MISSION_AXIS, PARTICLE_AXIS
 
 
 def _ppermute_from_left(x, axis_name, P_):
@@ -174,6 +174,11 @@ def _wslack(block: int, limit: int) -> int:
     return min(_WSLACK, max(0, limit - block))
 
 
+def _clamped_halo(halo: int, ns: int) -> int:
+    """Halo capped to the shard width (small banks) on a 128 multiple."""
+    return min(halo, (ns // 128) * 128)
+
+
 def systematic_resample_gather_dist(
     parts: jnp.ndarray,    # (6, N) global bank (sharded or to-be-sharded)
     weights: jnp.ndarray,  # (N,) globally normalized
@@ -188,10 +193,11 @@ def systematic_resample_gather_dist(
     single-device ``resampling.systematic_resample`` under the same key."""
     from jax import shard_map
 
+    ns = parts.shape[1] // pmesh.shape[PARTICLE_AXIS]
     body = functools.partial(
         systematic_gather_shard,
-        axis_name=PARTICLE_AXIS, halo=halo, use_pallas=use_pallas,
-        block=block)
+        axis_name=PARTICLE_AXIS, halo=_clamped_halo(halo, ns),
+        use_pallas=use_pallas, block=min(block, ns))
     spec_b = P(None, PARTICLE_AXIS)
     spec_w = P(PARTICLE_AXIS)
     fn = shard_map(
@@ -202,3 +208,48 @@ def systematic_resample_gather_dist(
         check_vma=False,
     )
     return fn(parts, weights, key)
+
+
+def systematic_resample_gather_dist_batched(
+    parts: jnp.ndarray,    # (B, 6, N) fleet banks
+    weights: jnp.ndarray,  # (B, N) per-mission globally normalized
+    keys,                  # (B, ...) per-mission keys
+    pmesh: Mesh,
+    halo: int = 4096,
+    use_pallas: bool = False,
+    block: int = 512,
+) -> jnp.ndarray:
+    """Fleet form: one shard_map over BOTH mesh axes — missions shard over
+    ``mission``, each mission's bank columns over ``particle`` — with the
+    shard body vmapped over its local missions. Keeps every collective
+    local to the particle axis (no cross-mission gathers), unlike wrapping
+    the single-mission entry in ``jax.vmap`` (whose batching rule treats
+    the mesh's mission axis as replicated and GSPMD re-gathers the fleet).
+
+    Per mission, ancestors are bit-identical to the single-device
+    ``resampling.systematic_resample`` under the same key."""
+    from jax import shard_map
+
+    M = pmesh.shape[MISSION_AXIS]
+    if parts.shape[0] % M:
+        raise ValueError(
+            f"fleet size {parts.shape[0]} not divisible by mission axis {M}")
+    ns = parts.shape[2] // pmesh.shape[PARTICLE_AXIS]
+
+    def body(p_b, w_b, k_b):
+        return jax.vmap(
+            functools.partial(
+                systematic_gather_shard,
+                axis_name=PARTICLE_AXIS, halo=_clamped_halo(halo, ns),
+                use_pallas=use_pallas, block=min(block, ns))
+        )(p_b, w_b, k_b)
+
+    fn = shard_map(
+        body, mesh=pmesh,
+        in_specs=(P(MISSION_AXIS, None, PARTICLE_AXIS),
+                  P(MISSION_AXIS, PARTICLE_AXIS),
+                  P(MISSION_AXIS)),
+        out_specs=P(MISSION_AXIS, None, PARTICLE_AXIS),
+        check_vma=False,
+    )
+    return fn(parts, weights, keys)

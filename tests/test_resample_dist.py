@@ -129,3 +129,29 @@ def test_expand_gather_offset_window_matches():
                 jnp.asarray(m_ext), jnp.asarray(p_ext), jnp.asarray(starts),
                 jnp.asarray([lo], jnp.int32), ns, block, W)
         np.testing.assert_array_equal(np.asarray(out8)[0:6], ref[:, lo:hi])
+
+
+def test_tpu_dist_check_artifact():
+    """Pin the committed on-chip pallas+shard_map artifact (round-3 verdict
+    #2): CPU interpret-mode Pallas deadlocks inside shard_map, so the
+    execution evidence for the composition a pod would run lives in
+    ``data/dist_check_tpu.json``, generated on the real chip by
+    ``scripts/check_dist_tpu.py``. This test fails on a bad regeneration."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "dist_check_tpu.json")
+    assert os.path.exists(path), "run scripts/check_dist_tpu.py on the TPU"
+    with open(path) as f:
+        art = json.load(f)
+    assert "TPU" in art["device"], art["device"]
+    assert art["dist_resample_pallas=False_bitwise"] is True
+    assert art["dist_resample_pallas=True_bitwise"] is True
+    assert art["n"] >= 1 << 17
+    pfr = art["pf_run_fast_pmesh"]
+    assert pfr["finite"] is True
+    assert pfr["gps_updates"] >= 3
+    # jitter-stream divergence only (threefry vs hardware PRNG): bank means
+    # must track to well under the GPS measurement sd
+    assert pfr["mean_pos_maxdiff_m"] < 0.05
