@@ -829,6 +829,7 @@ def run_fleet(
     params: SlamParams,
     cfg: EKFSlamConfig = EKFSlamConfig(),
     update_mode: str = "auto",
+    device_mesh=None,
 ):
     """Fleet replay with the assignment solved for ALL missions in one
     in-lanes Mosaic JV kernel (``ops.slam_da_kernels.hungarian_lanes``).
@@ -840,7 +841,43 @@ def run_fleet(
     same functions, and the lanes JV computes the same optimum (pinned by
     tests against scipy and the dense path). Both MBES and FLS passes run
     through the whole-DA lanes kernel (``da_lanes`` with the matching
-    sensor factory)."""
+    sensor factory).
+
+    ``device_mesh``: missions shard over the mesh's ``mission`` axis with
+    one ``shard_map`` around the WHOLE kernel scan — every shard runs the
+    same single-device lanes kernels on its local missions (independent
+    filters, zero collectives), so multi-chip fleets keep kernel speed
+    instead of falling back to the vmapped GSPMD path (round-3 verdict
+    #4). Per-mission outputs are bitwise the unsharded fleet's (asserted
+    by the dryrun)."""
+    if device_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import MISSION_AXIS
+
+        M = device_mesh.shape[MISSION_AXIS]
+        B = batched_timeline.ticks.shape[0]
+        if B % M:
+            raise ValueError(f"fleet size {B} not divisible by mission axis {M}")
+
+        def local(tl, prm):
+            final, out = run_fleet(tl, prm, cfg, update_mode)
+            # batch-major outputs so one P(MISSION_AXIS) prefix spec covers
+            # every leaf (the scan stacks time-major)
+            return final, jax.tree_util.tree_map(
+                lambda x: jnp.moveaxis(x, 0, 1), out)
+
+        fn = shard_map(
+            local, mesh=device_mesh,
+            in_specs=(P(MISSION_AXIS), P()),
+            out_specs=(P(MISSION_AXIS), P(MISSION_AXIS)),
+            check_vma=False,
+        )
+        final, out_bm = fn(batched_timeline, params)
+        return final, jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, 0, 1), out_bm)
+
     if update_mode not in ("auto", "full"):
         # non-default covariance writeback (marginal/lowrank/pallas): the
         # fleet update kernel implements exactly the "full" sequence, so

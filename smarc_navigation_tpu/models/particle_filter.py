@@ -178,6 +178,81 @@ def predict(state: PFState, odom: jnp.ndarray, dt, params: PFParams) -> PFState:
     return PFState(particles=parts, key=key, t_prev=state.t_prev)
 
 
+def _gps_weights(particles: jnp.ndarray, gps_map_xy: jnp.ndarray,
+                 params: PFParams) -> jnp.ndarray:
+    """Normalized GPS-likelihood weights of a (6, N) bank
+    (``auv_pf.py:135-166``).
+
+    Fault tolerance: a non-finite particle carries no likelihood — it gets
+    zero weight and is culled by the resample instead of poisoning the
+    whole bank through the normalization (NaNs otherwise wash through to
+    garbage ancestor indices).
+
+    Layout-invariant normalization (round-4 finding): with jnp.sum /
+    logsumexp here, GSPMD legally rewrites the reduction into local-reduce
+    + all-reduce under a pmesh — even across an explicit replication
+    constraint — and a one-ulp weight difference flips an ancestor at a
+    stratum boundary (~0.02% of columns per update at 2^14, cascading
+    through later CDFs). The order-pinned halving-tree normalization makes
+    the weights, hence the ancestors, hence the whole update bit-identical
+    between sharded and unsharded programs (tests/test_pf_pmesh.py asserts
+    it along a full mission)."""
+    # batched log-weights: (3,3) @ (3,N) + fused row math
+    pos_map = params.r_m2o @ particles[0:3] + params.t_m2o[:, None]
+    dx = gps_map_xy[0] - pos_map[0]
+    dy = gps_map_xy[1] - pos_map[1]
+    logw = -0.5 * (dx * dx + dy * dy) / params.meas_var - jnp.log(
+        2 * jnp.pi * params.meas_var
+    )
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+    return resampling.normalize_weights_det(logw)
+
+
+def fleet_update_resample(
+    states: PFState,          # batched: particles (B, 6, N), key (B, 2)
+    gps_map_xy: jnp.ndarray,  # (B, 2)
+    params: PFParams,
+    pmesh=None,
+    use_pallas: bool = False,
+) -> PFState:
+    """Batched ``update_resample`` (systematic scheme) for a mission fleet.
+
+    With ``pmesh`` the resample for ALL missions runs through ONE shard_map
+    over (mission, particle) — the explicit-collectives distributed kernel
+    (``resample_dist.systematic_resample_gather_dist_batched``) — instead
+    of per-mission GSPMD gathers; without it, the vmapped single-device
+    sampler. Both derive ancestors from the same blocked-CDF summation
+    tree, so per-mission results are bit-identical across the two routes
+    (and to ``update_resample`` itself) under equal keys."""
+    keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)  # (B,3,2)
+    key, k_res, k_noise = keys3[:, 0], keys3[:, 1], keys3[:, 2]
+    w = jax.vmap(lambda p, g: _gps_weights(p, g, params))(
+        states.particles, gps_map_xy)
+    use_dist = False
+    if pmesh is not None:
+        from ..parallel.mesh import PARTICLE_AXIS
+
+        # the blocked-CDF shard kernel needs lane-tiled shards; banks too
+        # small to tile keep the vmapped sampler (same ancestors — GSPMD's
+        # gather is cheap at those sizes)
+        ns = states.particles.shape[2] // pmesh.shape[PARTICLE_AXIS]
+        use_dist = ns % resampling.CDF_BLOCK == 0
+    if use_dist:
+        from ..parallel import resample_dist
+
+        parts = resample_dist.systematic_resample_gather_dist_batched(
+            states.particles, w, k_res, pmesh, use_pallas=use_pallas)
+    else:
+        parts = jax.vmap(
+            lambda p, wi, k: p[:, resampling.systematic_resample(k, wi)]
+        )(states.particles, w, k_res)
+    sd = jnp.sqrt(params.res_noise_cov)
+    noise = jax.vmap(
+        lambda k, p: jax.random.normal(k, p.shape, p.dtype) * sd[:, None]
+    )(k_noise, parts)
+    return PFState(particles=parts + noise, key=key, t_prev=states.t_prev)
+
+
 def update_resample(
     state: PFState,
     gps_map_xy: jnp.ndarray,
@@ -194,28 +269,7 @@ def update_resample(
     halo exchange), for banks sharded across chips. Ancestors are
     bit-identical to the single-device path (dryrun-verified)."""
     key, k_res, k_noise = jax.random.split(state.key, 3)
-    # batched log-weights: (3,3) @ (3,N) + fused row math
-    pos_map = params.r_m2o @ state.particles[0:3] + params.t_m2o[:, None]
-    dx = gps_map_xy[0] - pos_map[0]
-    dy = gps_map_xy[1] - pos_map[1]
-    logw = -0.5 * (dx * dx + dy * dy) / params.meas_var - jnp.log(
-        2 * jnp.pi * params.meas_var
-    )
-    # fault tolerance: a non-finite particle carries no likelihood — it gets
-    # zero weight and is culled by the resample instead of poisoning the
-    # whole bank through logsumexp (NaNs otherwise wash through to garbage
-    # ancestor indices)
-    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
-    # Layout-invariant normalization (round-4 finding): with jnp.sum /
-    # logsumexp here, GSPMD legally rewrites the reduction into
-    # local-reduce + all-reduce under a pmesh — even across an explicit
-    # replication constraint — and a one-ulp weight difference flips an
-    # ancestor at a stratum boundary (~0.02% of columns per update at
-    # 2^14, cascading through later CDFs). The order-pinned halving-tree
-    # normalization makes the weights, hence the ancestors, hence the
-    # whole update bit-identical between sharded and unsharded programs
-    # (tests/test_pf_pmesh.py asserts it along a full mission).
-    w = resampling.normalize_weights_det(logw)
+    w = _gps_weights(state.particles, gps_map_xy, params)
 
     if pmesh is not None and scheme == "systematic":
         # multi-chip bank: distributed resample with explicit collectives

@@ -258,7 +258,7 @@ def sequential_update(
 
 
 def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
-                              slabs: bool = False):
+                              slabs: bool = False, tiled_ep: bool = False):
     def kernel(pk_all,                         # (G, MB*M) int32 SMEM packed
                #   prefetch: lm_ix | do<<14 | add<<15 — ONE flat array
                #   because each prefetched SMEM operand's minor dims are
@@ -354,9 +354,24 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
                 vbuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = ediag
 
         for b in range(MB):
-            sig3 = _split3(sigma_in[b])
-            base[b, :, :] = _onehot_dot(
-                eall[b].astype(jnp.bfloat16), sig3, (((1,), (0,)), ((), ())))
+            if tiled_ep:
+                # contraction-tiled base: split3 over 128-row slices of Σ
+                # keeps the bf16 hi/mid/lo temporaries at (128, D) instead
+                # of three (D, D) planes — the VMEM this frees is what lets
+                # the Σ input stream double-buffer at D >= 512
+                eb = eall[b].astype(jnp.bfloat16)
+                acc = jnp.zeros((M * _PAD9, D), jnp.float32)
+                for r0 in range(0, D, 128):
+                    r1 = min(r0 + 128, D)
+                    acc = acc + _onehot_dot(
+                        eb[:, r0:r1], _split3(sigma_in[b][r0:r1, :]),
+                        (((1,), (0,)), ((), ())))
+                base[b, :, :] = acc
+            else:
+                sig3 = _split3(sigma_in[b])
+                base[b, :, :] = _onehot_dot(
+                    eall[b].astype(jnp.bfloat16), sig3,
+                    (((1,), (0,)), ((), ())))
 
         # STATIC unroll over measurements: j static makes the A-chain
         # TRIANGULAR (iteration j only contracts the j·8 factor rows that
@@ -424,10 +439,35 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
             mu_new = mu_in[b] + jnp.where(row8 == 0, delta, 0.0)
             wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
             mu_ref[b, :, :] = jnp.where(angle_mask, wrapped, mu_new)
-            s = sigma_in[b] - jax.lax.dot_general(
-                ubuf[b], vbuf[b],
-                dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
-            sigma_ref[b, :, :] = 0.5 * (s + s.T)
+            if tiled_ep:
+                # row-tiled symmetric downdate: Σ − ½(UᵀV + VᵀU) written
+                # tile-by-tile. No (D, D) stack temporaries and no (D, D)
+                # transpose relayout — cutting those is what re-enables the
+                # double-buffered Σ input stream at D >= 512 (ROOFLINE: the
+                # single-buffered Σ DMA serialized ~12 µs of the ~30 µs
+                # grid step). The result is exactly symmetric without a
+                # final symmetrize: A1[i,j] = (UᵀV)[i,j] and A2[i,j] =
+                # (VᵀU)[i,j] satisfy A1[i,j] == A2[j,i] BITWISE (same
+                # products, same contraction order), and a single f32 add
+                # is commutative — so out[i,j] == out[j,i] exactly. (The
+                # dense epilogue's 0.5(s+sᵀ) additionally averaged any
+                # input asymmetry; kernel outputs are exactly symmetric
+                # either way, so the invariant is preserved tick-to-tick.)
+                for r0 in range(0, D, 128):
+                    r1 = min(r0 + 128, D)
+                    A1 = jax.lax.dot_general(
+                        ubuf[b][:, r0:r1], vbuf[b],
+                        dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+                    A2 = jax.lax.dot_general(
+                        vbuf[b][:, r0:r1], ubuf[b],
+                        dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+                    sigma_ref[b, r0:r1, :] = (
+                        sigma_in[b][r0:r1, :] - 0.5 * (A1 + A2))
+            else:
+                s = sigma_in[b] - jax.lax.dot_general(
+                    ubuf[b], vbuf[b],
+                    dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+                sigma_ref[b, :, :] = 0.5 * (s + s.T)
             if slabs:
                 ub, vb = ubuf[b], vbuf[b]
                 qs = []
@@ -449,7 +489,7 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
     return kernel
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("tiled_ep",))
 def sequential_update_fleet(
     Sigma: jnp.ndarray,    # (B, D, D)
     mu: jnp.ndarray,       # (B, D)
@@ -467,6 +507,8 @@ def sequential_update_fleet(
                                #   (see the kernel's slabs note); when given
                                #   the updated band is returned as a third
                                #   output
+    tiled_ep: bool = False,    # row-tiled prologue/epilogue (D >= 512 only;
+                               #   see the VMEM note below)
 ) -> tuple:
     """Fleet-batched sequential update: same math as ``sequential_update``
     per mission, MB missions per grid step for instruction parallelism.
@@ -492,13 +534,32 @@ def sequential_update_fleet(
     # transpose — measured: MB=2 at D=774 blows the 16 MB scoped limit by
     # 10 MB even with single-buffered Σ streams), all within ~16 MB VMEM
     # (L=64 -> MB=8; L=256 -> MB=1).
-    sig_bufs = 1 if D >= 512 else 2
-    per_mission = 4 * (
-        sig_bufs * 2 * D * D + 2 * 2 * 8 * D           # Σ/μ in+out
-        + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)  # gh/nu in, x2 buf
-        + 2 * M * _PAD9 * D
-        + 2 * (_PRED_ROWS + M * _PAD_DIM) * D           # scratch
-        + 2 * D * D)                                    # stack temporaries
+    #
+    # Row-TILED variant (tiled_ep; D >= 512 shapes): the prologue/epilogue
+    # (D,D) stack temporaries are cut to (128, D) tiles, which frees enough
+    # VMEM to DOUBLE-buffer the Σ input stream. Measured r04 at D=774
+    # B=32: 843 µs/fleet-tick vs 796 µs for the dense epilogue — the
+    # symmetric-by-construction tiled downdate costs 2x the epilogue MXU
+    # passes (A1 and A2) and the Σ-in overlap doesn't pay for it, so the
+    # dense epilogue stays the default. The tiled path is kept (tested)
+    # as the building block for a row-STREAMED grid variant: whole-plane
+    # Σ windows are why MB=2 at D=774 still OOMs (18.51M vs 16M scoped
+    # VMEM even with these temporaries cut and both streams at 1 buffer).
+    tiled_ep = tiled_ep and D >= 512
+    if tiled_ep:
+        per_mission = 4 * (
+            3 * D * D + 2 * 2 * 8 * D                   # Σ in x2 + out x1, μ
+            + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)
+            + 2 * M * _PAD9 * D
+            + 2 * (_PRED_ROWS + M * _PAD_DIM) * D       # scratch
+            + 6 * 128 * D)                              # tile temporaries
+    else:
+        per_mission = 4 * (
+            2 * 2 * D * D + 2 * 2 * 8 * D               # Σ/μ in+out
+            + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)  # gh/nu in, x2
+            + 2 * M * _PAD9 * D
+            + 2 * (_PRED_ROWS + M * _PAD_DIM) * D       # scratch
+            + 2 * D * D)                                # stack temporaries
     MB = 1
     for cand_mb in (8, 4, 2):
         if B % cand_mb == 0 and cand_mb * per_mission <= 14 * 2 ** 20:
@@ -526,14 +587,25 @@ def sequential_update_fleet(
     predict = a8 is not None
     slabs = band is not None
     poff = _PRED_ROWS if predict else 0
-    # Large states are VMEM-bound, not DMA-bound: at D=774 the Σ block DMA
-    # is ~6 us against ~100 us of compute per grid step, so single-buffer
-    # the Σ in/out streams (saves 2·MB·D² f32 of VMEM — double buffering
-    # them is what OOM'd the L=256 fleet at B=128).
-    sig_buf = pl.Buffered(buffer_count=1) if D >= 512 else None
+    # MB=2 at D=774 measured r04: even with the (D,D) prologue/epilogue
+    # temporaries cut to (128,D) tiles AND both Σ streams single-buffered,
+    # the scoped VMEM allocation is 18.51M vs the 16.00M limit (+2.51M) —
+    # whole-plane Σ windows cannot host two missions. Interleaving needs
+    # the row-streamed grid variant (Σ tiles over a second grid axis).
+    #
+    # Buffering: dense path at D >= 512 single-buffers BOTH Σ streams (the
+    # (D,D) epilogue temporaries leave no room — r03 measurement); the
+    # tiled path affords a double-buffered Σ-in (out stays single: its
+    # flush completes inside the next step's prologue).
+    if tiled_ep:
+        sig_in_buf = None
+        sig_out_buf = pl.Buffered(buffer_count=1)
+    else:
+        one = pl.Buffered(buffer_count=1) if D >= 512 else None
+        sig_in_buf = sig_out_buf = one
     in_specs = [
         pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0),
-                     pipeline_mode=sig_buf),
+                     pipeline_mode=sig_in_buf),
         pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec((MB, M * _PAD9, _PAD9), lambda g, *_: (g, 0, 0)),
         pl.BlockSpec((_PAD9, 128), lambda g, *_: (0, 0)),
@@ -557,7 +629,7 @@ def sequential_update_fleet(
         args.append(a8.astype(f32))
     out_specs = [
         pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0),
-                     pipeline_mode=sig_buf),
+                     pipeline_mode=sig_out_buf),
         pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
     ]
     out_shape = [
@@ -583,7 +655,8 @@ def sequential_update_fleet(
         ],
     )
     outs = pl.pallas_call(
-        _make_update_kernel_fleet(MB, M, predict=predict, slabs=slabs),
+        _make_update_kernel_fleet(MB, M, predict=predict, slabs=slabs,
+                                  tiled_ep=tiled_ep),
         grid_spec=grid_spec,
         out_shape=out_shape,
     )(*args)

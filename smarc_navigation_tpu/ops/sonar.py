@@ -68,7 +68,18 @@ def extract_peaks(
     range_max,
     max_detections: int = 8,
 ) -> Detections:
-    """One scan -> up to K sensor-frame landmark points."""
+    """One scan -> up to K sensor-frame landmark points.
+
+    Scatter-free formulation (round-4): the run-length segmentation is
+    expressed with two associative scans (a reversed ``cummin`` finds each
+    run's exclusive end, a ``cumsum`` numbers the valid runs) and the
+    K-slot compaction with masked lane reduces — no ``scatter``/``gather``
+    anywhere. This matters for fleets: vmapped over 1024 missions inside a
+    scan body, the previous 4-scatter version cost ~1.9 ms/fleet-tick on
+    TPU (scatters don't vectorize across the batch); this one fuses into
+    the surrounding elementwise work (scripts/probe_raycast.py measures
+    the legs). Semantics are pinned by tests/test_sonar.py's oracle loop.
+    """
     B = intensities.shape[-1]
     dtype = intensities.dtype
     smoothed = smooth_intensities(intensities)
@@ -79,35 +90,33 @@ def extract_peaks(
     idx = jnp.arange(B)
     hot = (smoothed >= 1.05 * thresh) & (idx > 0)
 
-    # run-length segmentation of consecutive hot beams
+    # run-length segmentation of consecutive hot beams: a run's exclusive
+    # end is the first non-hot index at-or-after it (reversed cummin)
     prev_hot = jnp.concatenate([jnp.zeros(1, bool), hot[:-1]])
     run_start = hot & ~prev_hot
-    run_id = jnp.cumsum(run_start) - 1          # valid where hot
-    safe_id = jnp.where(hot, run_id, B - 1)
-
-    run_len = jnp.zeros(B, jnp.int32).at[safe_id].add(jnp.where(hot, 1, 0))
-    run_first = jnp.full(B, B, jnp.int32).at[safe_id].min(
-        jnp.where(hot, idx, B).astype(jnp.int32)
-    )
+    nonhot_at = jnp.where(hot, B, idx).astype(jnp.int32)
+    run_end = jax.lax.cummin(nonhot_at[::-1])[::-1]
+    run_len = jnp.where(run_start, run_end - idx, 0).astype(jnp.int32)
 
     # middle-of-cluster selection (size//2 for even, (size+1)//2 for odd —
     # the reference's off-center pick, sonar_manipulator.hpp:82-86)
     offset = jnp.where(run_len % 2 == 0, run_len // 2, (run_len + 1) // 2)
-    mid = jnp.clip(run_first + offset, 0, B - 1)
-    valid_run = run_len > 1
+    mid = jnp.clip(idx + offset, 0, B - 1)
+    valid_run = run_start & (run_len > 1)
 
-    # compact valid runs into K slots
+    # compact valid runs into K slots: the k-th valid run's quantities are
+    # masked sums over the beam axis (each one-hot row selects one beam)
     slot = jnp.cumsum(valid_run) - 1
     K = max_detections
-    det_beam = jnp.zeros(K, jnp.int32).at[jnp.where(valid_run, slot, K)].set(
-        mid, mode="drop"
-    )
-    det_mask = jnp.zeros(K, bool).at[jnp.where(valid_run, slot, K)].set(
-        True, mode="drop"
-    )
+    onehot = (slot[None, :] == jnp.arange(K)[:, None]) & valid_run[None, :]
+    det_beam = jnp.sum(jnp.where(onehot, mid[None, :], 0), axis=1)
+    det_mask = jnp.any(onehot, axis=1)
 
     alpha = angle_min + angle_increment * det_beam.astype(dtype)
-    r = ranges[det_beam]
+    # range sampled at the MID beam (not the run start the slot one-hot
+    # points at) — a second one-hot keyed on det_beam replaces the gather
+    mid_oh = (idx[None, :] == det_beam[:, None]) & det_mask[:, None]
+    r = jnp.sum(jnp.where(mid_oh, ranges[None, :], 0), axis=1)
     pts = jnp.stack([r * jnp.cos(alpha), r * jnp.sin(alpha), jnp.zeros_like(r)], -1)
     pts = jnp.where(det_mask[:, None], pts, 0.0)
     return Detections(points=pts, mask=det_mask)

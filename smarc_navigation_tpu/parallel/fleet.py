@@ -53,15 +53,64 @@ def fleet_step(
     pf_params: pf.PFParams,
     state: FleetState,
     tick_batch,  # per-mission tick slices, leading axis B
+    pf_scheme: str = "residual",
+    pf_pmesh=None,
 ):
-    """One fused navigation tick for every mission in the fleet."""
+    """One fused navigation tick for every mission in the fleet.
 
-    def one(sl, pfs, tick):
-        sl2, sl_out = slam.step(slam_cfg, slam_params, sl, tick)
-        pf2, pf_out = pf.step(pf_cfg, pf_params, pfs, tick)
-        return sl2, pf2, {"slam": sl_out, "pf": pf_out}
+    ``pf_scheme="systematic"`` lifts the PF GPS update out of the
+    per-mission cond into one fleet-wide batched update
+    (``pf.fleet_update_resample``) — semantically identical to the vmapped
+    ``pf.step`` (vmap turns the update cond into a select that executes
+    both branches anyway) but routable: with ``pf_pmesh`` the resample for
+    all missions runs through the explicit-collectives distributed kernel
+    over the mesh's particle axis instead of GSPMD gathers (round-3
+    verdict #1, fleet leg)."""
+    if pf_scheme != "systematic":
+        if pf_pmesh is not None:
+            raise ValueError(
+                "particle-axis sharding (pf_pmesh) requires the systematic "
+                "scheme — the distributed resample implements it")
 
-    sl2, pf2, out = jax.vmap(one)(state.slam, state.pf, tick_batch)
+        def one(sl, pfs, tick):
+            sl2, sl_out = slam.step(slam_cfg, slam_params, sl, tick)
+            pf2, pf_out = pf.step(pf_cfg, pf_params, pfs, tick, pf_scheme)
+            return sl2, pf2, {"slam": sl_out, "pf": pf_out}
+
+        sl2, pf2, out = jax.vmap(one)(state.slam, state.pf, tick_batch)
+        return FleetState(slam=sl2, pf=pf2), out
+
+    def slam_one(sl, tick):
+        return slam.step(slam_cfg, slam_params, sl, tick)
+
+    sl2, sl_out = jax.vmap(slam_one)(state.slam, tick_batch)
+
+    def pred_one(s, tick):
+        odom = tick.channels["odom"]
+        dt = jnp.maximum(tick.ticks - s.t_prev, 0.0)
+        return jax.lax.cond(
+            odom.fresh,
+            lambda ss: pf.predict(ss, odom.value, dt, pf_params)._replace(
+                t_prev=tick.ticks),
+            lambda ss: ss,
+            s,
+        )
+
+    pred = jax.vmap(pred_one)(state.pf, tick_batch)
+    gps = tick_batch.channels["gps"]
+    diving = tick_batch.channels["diving"]
+    do_upd = gps.fresh & (diving.value[:, 0] < 0.5)
+    upd = pf.fleet_update_resample(pred, gps.value[:, 0:2], pf_params,
+                                   pmesh=pf_pmesh)
+
+    def sel(u, p):
+        return jnp.where(do_upd.reshape((-1,) + (1,) * (u.ndim - 1)), u, p)
+
+    pf2 = pf.PFState(particles=sel(upd.particles, pred.particles),
+                     key=sel(upd.key, pred.key), t_prev=pred.t_prev)
+    mean, cov = jax.vmap(pf.estimate)(pf2.particles)
+    out = {"slam": sl_out,
+           "pf": {"mean": mean, "cov": cov, "updated": do_upd}}
     return FleetState(slam=sl2, pf=pf2), out
 
 
@@ -74,12 +123,27 @@ def run_fleet(
     n_particles: int,
     device_mesh=None,
     seed: int = 0,
+    pf_scheme: str | None = None,
 ):
     """Replay the whole fleet: scan over time of the vmapped fused step.
 
     ``timelines`` leaves are (B, T, ...); missions shard over the mesh.
+
+    When ``device_mesh`` has a ``particle`` axis wider than 1, per-mission
+    particle banks shard across it and the PF GPS update routes through the
+    batched explicit-collectives distributed resample (forces the
+    systematic scheme — see ``fleet_step``); otherwise ``pf_scheme``
+    defaults to the reference's residual sampler (``auv_pf.py:169-198``).
     """
     B = timelines.ticks.shape[0]
+    if pf_scheme is None:
+        particle_sharded = (device_mesh is not None
+                            and device_mesh.shape[mesh_lib.PARTICLE_AXIS] > 1)
+        pf_scheme = "systematic" if particle_sharded else "residual"
+    pf_pmesh = None
+    if (device_mesh is not None
+            and device_mesh.shape[mesh_lib.PARTICLE_AXIS] > 1):
+        pf_pmesh = device_mesh
     state0 = init_fleet(B, n_particles, slam_cfg, pf_params, pf_cfg, seed)
 
     if device_mesh is not None:
@@ -105,7 +169,8 @@ def run_fleet(
     xs = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), timelines)
 
     def body(state, tick_batch):
-        return fleet_step(slam_cfg, slam_params, pf_cfg, pf_params, state, tick_batch)
+        return fleet_step(slam_cfg, slam_params, pf_cfg, pf_params, state,
+                          tick_batch, pf_scheme=pf_scheme, pf_pmesh=pf_pmesh)
 
     final, out = jax.lax.scan(body, state0, xs)
     return final, out
@@ -178,9 +243,9 @@ def run_raycast_fleet(
 
     if use_da_kernel is None:
         use_da_kernel = jax.default_backend() == "tpu"
-    if device_mesh is not None or not use_da_kernel:
-        # sharded/CPU path: per-mission scan (the in-lanes DA kernel is a
-        # single-device TPU program; GSPMD shards the vmapped variant)
+    if not use_da_kernel:
+        # kernel-less path: per-mission scan (GSPMD shards the vmapped
+        # variant over the mission axis when a mesh is given)
         def mission(gt_track, lms, lmm):
             def step_fn(state, pose):
                 pts, mask = raycast.ping_detections(
@@ -199,6 +264,33 @@ def run_raycast_fleet(
             landmark_sets = mesh_lib.shard_missions(landmark_sets, device_mesh)
             lm_masks = mesh_lib.shard_missions(lm_masks, device_mesh)
         return jax.vmap(mission)(gt_tracks, landmark_sets, lm_masks)
+
+    if device_mesh is not None:
+        # mission-axis shard_map around the WHOLE kernel fleet (round-3
+        # verdict #4): missions are independent, so each shard runs the
+        # same lanes-kernel scan on its local block — no collectives, no
+        # fallback to the ~2.8x-slower vmapped path
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        M = device_mesh.shape[mesh_lib.MISSION_AXIS]
+        if gt_tracks.shape[0] % M:
+            raise ValueError(
+                f"fleet size {gt_tracks.shape[0]} not divisible by "
+                f"mission axis {M}")
+
+        def local(gt, lms, lmm, prm):
+            return run_raycast_fleet(
+                gt, lms, lmm, slam_cfg, prm, mbes_spec=spec,
+                use_da_kernel=True)
+
+        fn = shard_map(
+            local, mesh=device_mesh,
+            in_specs=(P(mesh_lib.MISSION_AXIS),) * 3 + (P(),),
+            out_specs=(P(mesh_lib.MISSION_AXIS), P(mesh_lib.MISSION_AXIS)),
+            check_vma=False,
+        )
+        return fn(gt_tracks, landmark_sets, lm_masks, slam_params)
 
     # single-device fleet: render + predict vmapped, DA through the
     # missions-in-lanes kernel (ops/slam_da_kernels — ~2.8x the vmapped step)

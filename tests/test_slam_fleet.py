@@ -287,3 +287,27 @@ def test_run_fleet_capacity_denial_matches_dense():
         np.testing.assert_allclose(
             np.asarray(out_f["mu"][:, b]), np.asarray(out_d["mu"]),
             atol=1e-2)
+
+
+def test_tpu_slam_shard_artifact():
+    """Pin the committed on-chip mission-sharded kernel-fleet artifact
+    (round-3 verdict #4): interpret-mode Pallas hangs inside shard_map on
+    the CPU backend (same failure the distributed resample hit in round 3,
+    reproduced for the DA/update kernels in round 4), so the execution
+    evidence for ``slam.run_fleet(device_mesh=...)`` and the sharded
+    raycast kernel fleet lives in ``data/slam_shard_tpu.json``, generated
+    on the real chip by ``scripts/check_slam_shard_tpu.py``."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "slam_shard_tpu.json")
+    assert os.path.exists(path), "run scripts/check_slam_shard_tpu.py on TPU"
+    with open(path) as f:
+        art = json.load(f)
+    assert "TPU" in art["device"], art["device"]
+    rf = art["slam_run_fleet_sharded"]
+    assert rf["bitwise_mu"] and rf["bitwise_sigma"] and rf["bitwise_outputs"]
+    assert rf["total_landmarks"] > 0, "fleet built no landmarks — dead run?"
+    rc = art["raycast_fleet_sharded"]
+    assert rc["bitwise"] and rc["total_landmarks"] > 0

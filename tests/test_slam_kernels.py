@@ -244,3 +244,61 @@ def test_fleet_kernel_band_carry_tracks_sigma_blockdiag():
                 np.testing.assert_allclose(
                     got, want, atol=5e-5,
                     err_msg=f"step {step} block entry ({a},{c})")
+
+
+def test_fleet_kernel_tiled_epilogue_large_state():
+    """The row-tiled prologue/epilogue variant (``tiled_ep=True``, D >= 512
+    shapes — the (D,D)-temporary-free building block for a row-streamed
+    MB>=2 kernel): same update math as the dense epilogue against the
+    numpy f32 sequence, and the output must be EXACTLY symmetric (the
+    tiled downdate is symmetric by construction — A1[i,j] == A2[j,i]
+    bitwise)."""
+    from smarc_navigation_tpu.ops import slam_kernels
+
+    rng = np.random.default_rng(13)
+    B, L, M, dim = 2, 170, 4, 3
+    D = 6 + 3 * L
+    assert D >= 512
+
+    A = rng.normal(0, 0.05, (B, D, D))
+    Sigma0 = (np.einsum("bij,bkj->bik", A, A)
+              + np.eye(D)[None]).astype(np.float32)
+    mu0 = rng.normal(0, 1, (B, D)).astype(np.float32)
+    H = rng.normal(0, 0.1, (B, M, dim, 9)).astype(np.float32)
+    Sinv = rng.uniform(0.1, 0.4, (B, M))[:, :, None, None] * np.eye(dim)
+    SinvH = np.einsum("bmij,bmjk->bmik", Sinv, H).astype(np.float32)
+    nu = rng.normal(0, 0.3, (B, M, dim)).astype(np.float32)
+    slots = rng.integers(0, L, (B, M))
+    lm_ix = (6 + 3 * slots).astype(np.int32)
+    do = rng.random((B, M)) < 0.8
+    add = (rng.random((B, M)) < 0.4) & do
+    new_cov = np.array([2.0, 1.5, 1.0], np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        S_k, mu_k = slam_kernels.sequential_update_fleet(
+            jnp.asarray(Sigma0), jnp.asarray(mu0), jnp.asarray(H),
+            jnp.asarray(SinvH), jnp.asarray(nu), jnp.asarray(lm_ix),
+            jnp.asarray(do), jnp.asarray(add), jnp.asarray(new_cov),
+            tiled_ep=True,
+        )
+    S_k, mu_k = np.asarray(S_k), np.asarray(mu_k)
+
+    for b in range(B):
+        S_ref, mu_ref = Sigma0[b].copy(), mu0[b].copy()
+        for j in range(M):
+            if add[b, j]:
+                s0 = lm_ix[b, j]
+                S_ref[s0:s0 + 3, s0:s0 + 3] += np.diag(new_cov)
+            if not do[b, j]:
+                continue
+            idx = np.r_[0:6, lm_ix[b, j]:lm_ix[b, j] + 3]
+            rows = S_ref[idx, :]
+            Kt = SinvH[b, j] @ rows
+            mu_ref = mu_ref + nu[b, j] @ Kt
+            mu_ref[3:6] = np.mod(mu_ref[3:6] + np.pi, 2 * np.pi) - np.pi
+            S_ref = S_ref - Kt.T @ (H[b, j] @ rows)
+        S_ref = 0.5 * (S_ref + S_ref.T)
+        np.testing.assert_allclose(mu_k[b], mu_ref, atol=2e-4)
+        np.testing.assert_allclose(S_k[b], S_ref, atol=2e-3)
+    np.testing.assert_array_equal(S_k, np.swapaxes(S_k, 1, 2),
+                                  err_msg="tiled epilogue output asymmetric")
