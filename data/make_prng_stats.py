@@ -49,6 +49,17 @@ def main(path=None):
         streams["y"].append(out[1])
         streams["yaw"].append(out[5] / 0.1)
 
+    # the segmented production path's multi-tick kernel: yaw noise from BOTH
+    # Box-Muller outputs (8 PRNG rows lane-split into n/2 radii + n/2
+    # angles), at the reference default config (nxy=False, yaw noise only)
+    par16m = jnp.zeros((1, 16), jnp.float32).at[0, 9].set(0.1).at[0, 11].set(1.0)
+    runm = jax.jit(lambda s: pf_kernels.predict_call_multi(
+        parts0, par16m, s[None], nxy=False, nyaw=True)[0])
+    streams["multi_yaw_twin"] = []
+    for t in range(ticks):
+        out = np.asarray(runm(jnp.asarray(11_000_000 + t * 1013, jnp.int32)))
+        streams["multi_yaw_twin"].append(out[5] / 0.1)
+
     # the fused resample-jitter stream at ITS production layout
     # ((32, batch*block/8) blocks, one seed per grid step): uniform weights
     # over a zero bank make the gather the identity, so the output rows are

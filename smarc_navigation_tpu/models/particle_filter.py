@@ -534,7 +534,8 @@ def _sharded_runner(pmesh, chunk: int, segmented: bool, nxy: bool = True,
         def body(ps, xs):
             p16, sds, upd, gxy, kr, kn, uslot = xs
             ps, sums = pf_kernels.predict_call_multi(
-                ps, p16, sds + seed_off, chunk=chunk, nxy=nxy, nyaw=nyaw_on)
+                ps, p16, sds + seed_off, chunk=chunk, nxy=nxy, nyaw=nyaw_on,
+                nticks=uslot + 1)
 
             def do_upd(args):
                 p, s = args
@@ -622,6 +623,31 @@ def _segment_plan(upd: np.ndarray, k_max: int):
     return segs
 
 
+def _segment_arrays(upd_host: np.ndarray, k_max: int):
+    """Numpy slot tables for the segmented fast path (shared with the floor
+    ablation probe so it decomposes EXACTLY the production plan): returns
+    (idx (S,K), valid (S,K), upd_seg (S,), upd_tick (S,), upd_slot (S,),
+    flat_slot (T,))."""
+    segs = _segment_plan(upd_host, k_max)
+    S, K, T = len(segs), k_max, len(upd_host)
+    idx = np.zeros((S, K), np.int32)
+    valid = np.zeros((S, K), bool)
+    upd_seg = np.zeros((S,), bool)
+    upd_tick = np.zeros((S,), np.int32)
+    upd_slot = np.zeros((S,), np.int32)
+    for s, (start, length, has_upd) in enumerate(segs):
+        idx[s, :length] = np.arange(start, start + length)
+        idx[s, length:] = start + length - 1
+        valid[s, :length] = True
+        upd_seg[s] = has_upd
+        upd_tick[s] = start + length - 1
+        upd_slot[s] = length - 1
+    flat_slot = np.zeros((T,), np.int32)
+    for s, (start, length, _h) in enumerate(segs):
+        flat_slot[start:start + length] = s * K + np.arange(length)
+    return idx, valid, upd_seg, upd_tick, upd_slot, flat_slot
+
+
 @jax.jit
 def _segment_inputs(timeline, params, key, idx_j, valid_j, upd_tick_j):
     """Per-segment scan inputs from the tick precompute — shared by the
@@ -659,7 +685,7 @@ def _run_segments(timeline, params, key, s0_particles,
     def body(parts, xs):
         p16, sds, upd, gxy, kr, kn, uslot = xs
         parts, sums = pf_kernels.predict_call_multi(
-            parts, p16, sds, nxy=nxy, nyaw=nyaw_on)
+            parts, p16, sds, nxy=nxy, nyaw=nyaw_on, nticks=uslot + 1)
 
         def do_upd(args):
             # post-resample moments on the update tick, matching run_fast /
@@ -709,29 +735,11 @@ def run_fast_segmented(
         timeline.channels["gps"].fresh
         & (timeline.channels["diving"].value[:, 0] < 0.5)
     )
-    segs = _segment_plan(upd_host, k_max)
-    S = len(segs)
-    T = int(timeline.ticks.shape[0])
-    K = k_max
-
     # slot -> tick index (pads repeat the segment's last real tick; their
     # par16 rows are zeroed below so they are exact no-ops)
-    idx = np.zeros((S, K), np.int32)
-    valid = np.zeros((S, K), bool)
-    upd_seg = np.zeros((S,), bool)
-    upd_tick = np.zeros((S,), np.int32)
-    upd_slot = np.zeros((S,), np.int32)
-    for s, (start, length, has_upd) in enumerate(segs):
-        idx[s, :length] = np.arange(start, start + length)
-        idx[s, length:] = start + length - 1
-        valid[s, :length] = True
-        upd_seg[s] = has_upd
-        upd_tick[s] = start + length - 1
-        upd_slot[s] = length - 1
-    # tick -> (segment, slot) for the post-scan moment gather
-    flat_slot = np.zeros((T,), np.int32)
-    for s, (start, length, _h) in enumerate(segs):
-        flat_slot[start:start + length] = s * K + np.arange(length)
+    idx, valid, upd_seg, upd_tick, upd_slot, flat_slot = _segment_arrays(
+        upd_host, k_max)
+    S, K = idx.shape
 
     idx_j = jnp.asarray(idx)
     valid_j = jnp.asarray(valid)

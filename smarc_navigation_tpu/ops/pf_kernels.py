@@ -51,22 +51,22 @@ N_SUMS = 8  # sx, sy, sxx, syy, sxy, s_sin, s_cos, count
 _WSLACK = 384    # ancestor-window slack beyond the block width (see guard)
 
 
-def _accum_moments(sums_ref, base, x, y, sy, cy, count):
-    """Accumulate the 8 lane-partial moment rows (the layout of
-    ``moment_sums``/``finalize_moments``) at sums_ref[base:base+8] — shared
-    by the per-tick predict, the multi-tick predict, and the fused
-    resample-jitter tail so the row order cannot silently diverge."""
+def _moment_block(x, y, sy, cy, count):
+    """The 8 lane-partial moment rows (the layout of ``moment_sums``/
+    ``finalize_moments``) as one (8, 128) block — shared by the per-tick
+    predict, the multi-tick predict, and the fused resample-jitter tail so
+    the row order cannot silently diverge."""
     def lanes(v):
         return jnp.sum(v.reshape(-1, 128), axis=0)
 
-    sums_ref[base + 0, :] += lanes(x)
-    sums_ref[base + 1, :] += lanes(y)
-    sums_ref[base + 2, :] += lanes(x * x)
-    sums_ref[base + 3, :] += lanes(y * y)
-    sums_ref[base + 4, :] += lanes(x * y)
-    sums_ref[base + 5, :] += lanes(sy)
-    sums_ref[base + 6, :] += lanes(cy)
-    sums_ref[base + 7, :] += jnp.full((128,), count, jnp.float32)
+    return jnp.stack(
+        [lanes(x), lanes(y), lanes(x * x), lanes(y * y), lanes(x * y),
+         lanes(sy), lanes(cy), jnp.full((128,), count, jnp.float32)])
+
+
+def _accum_moments(sums_ref, base, x, y, sy, cy, count):
+    """Accumulate the moment rows at sums_ref[base:base+8] (static base)."""
+    sums_ref[base:base + N_SUMS, :] += _moment_block(x, y, sy, cy, count)
 
 
 def _make_resample_kernel(batch: int, W: int, jitter: bool = False):
@@ -523,30 +523,37 @@ def _kernel(params_ref, seed_ref, parts_ref, out_ref, sums_ref):
 
 
 def _make_kernel_multi(nxy: bool, nyaw_on: bool):
-    """Kernel factory: K predict ticks over one VMEM-resident chunk.
+    """Kernel factory: up to K predict ticks over one VMEM-resident chunk.
 
+    nticks (1,1) SMEM i32: number of REAL ticks this call — the tick loop is
+    a dynamic ``fori_loop`` so the (K - nticks) pad slots never execute
+    (round-3 plan padded every segment to K=12 slots and ran the pads as
+    multiplied-by-zero work: ~18% of the predict kernel's VPU time).
     params (K,16) SMEM f32 rows as in ``_kernel``; seeds (1,K) SMEM i32.
     The bank chunk is read and written ONCE for all K ticks; per-tick moment
-    partials land in sums rows [8t, 8t+8).
+    partials land in sums rows [8t, 8t+8); pad rows stay zero (the caller's
+    flat_slot gather never reads them).
 
     nxy / nyaw_on are trace-time flags: noise rows whose std is exactly 0
     compile out entirely. The reference's default motion covariance is
     (0,0,0,0,0,1e-12) (``auv_pf.launch:18``) — x/y motion noise is zero and
     bank diversity comes from the resample jitter — so the default-config
     kernel skips 2 of 4 PRNG rows, one Box-Muller radius, and two
-    quarter-wave polys (VPU-bound: ~35% of the per-tick cost)."""
+    quarter-wave polys (VPU-bound: ~35% of the per-tick cost).
 
-    def kernel(params_ref, seeds_ref, parts_ref, out_ref, sums_ref):
+    Yaw noise uses BOTH Box-Muller outputs (x/y always did: nx = r·cos,
+    ny = r·sin): the 8 PRNG rows split along lanes into n/2 radii + n/2
+    angles giving n normals — half the PRNG bits, half the _fast_ln work of
+    the discarded-twin form. Requires the lane halves to stay 128-aligned
+    (n ≥ 2048); smaller chunks keep the two-row form."""
+
+    def kernel(nt_ref, params_ref, seeds_ref, parts_ref, out_ref, sums_ref):
         pid = pl.program_id(0)
-        K = params_ref.shape[0]
         n = parts_ref.shape[1]
-
-        x = parts_ref[0, :]
-        y = parts_ref[1, :]
-        yaw = parts_ref[5, :]
-        z = parts_ref[2, :]
-        roll_v = parts_ref[3, :]
-        pitch_v = parts_ref[4, :]
+        n8 = n // 8
+        twin = n8 % 256 == 0
+        yaw_rows = (8 if twin else 16) if nyaw_on else 0
+        nrows = (16 if nxy else 0) + yaw_rows
 
         @pl.when(pid == 0)
         def _():
@@ -555,12 +562,11 @@ def _make_kernel_multi(nxy: bool, nyaw_on: bool):
         # Noise math runs on (8, n/8) blocks: a (1,n)-shaped row uses one of
         # the VPU's 8 sublanes (measured 11x slower); full-sublane blocks +
         # one free row-major reshape to (n,) at the end fix the layout.
-        n8 = n // 8
-        nrows = (16 if nxy else 0) + (16 if nyaw_on else 0)
-        for t in range(K):
+        def tick(t, carry):
+            x, y, z, roll_v, pitch_v, yaw = carry
             scale = params_ref[t, 11]
             if nrows:
-                pltpu.prng_seed(seeds_ref[0, t] + pid)  # same stream as _kernel
+                pltpu.prng_seed(seeds_ref[0, t] + pid)
                 u = _uniform_from_bits(
                     pltpu.bitcast(pltpu.prng_random_bits((nrows, n8)), jnp.uint32))
             nx = ny = nyaw = 0.0
@@ -569,9 +575,18 @@ def _make_kernel_multi(nxy: bool, nyaw_on: bool):
                 nx = (r1 * _sin2pi(u[8:16] + 0.25)).reshape(n) * (params_ref[t, 7] * scale)
                 ny = (r1 * _sin2pi(u[8:16])).reshape(n) * (params_ref[t, 8] * scale)
             if nyaw_on:
-                r2 = jnp.sqrt(-2.0 * _fast_ln(u[nrows - 16:nrows - 8]))
-                nyaw = (r2 * _sin2pi(u[nrows - 8:nrows] + 0.25)).reshape(n) * (
-                    params_ref[t, 9] * scale)
+                v = u[nrows - yaw_rows:nrows]
+                if twin:
+                    n16 = n8 // 2
+                    r2 = jnp.sqrt(-2.0 * _fast_ln(v[:, :n16]))
+                    va = v[:, n16:]
+                    zz = jnp.concatenate(
+                        [r2 * _sin2pi(va + 0.25), r2 * _sin2pi(va)], axis=1)
+                    nyaw = zz.reshape(n) * (params_ref[t, 9] * scale)
+                else:
+                    r2 = jnp.sqrt(-2.0 * _fast_ln(v[0:8]))
+                    nyaw = (r2 * _sin2pi(v[8:16] + 0.25)).reshape(n) * (
+                        params_ref[t, 9] * scale)
 
             roll, pitch = params_ref[t, 4], params_ref[t, 5]
             yaw = yaw + params_ref[t, 3] + nyaw
@@ -589,7 +604,15 @@ def _make_kernel_multi(nxy: bool, nyaw_on: bool):
             roll_v = jnp.where(subst, jnp.full_like(x, roll), roll_v)
             pitch_v = jnp.where(subst, jnp.full_like(x, pitch), pitch_v)
 
-            _accum_moments(sums_ref, t * N_SUMS, x, y, sy, cy, n / 128.0)
+            row = pl.multiple_of(t * N_SUMS, N_SUMS)
+            sums_ref[pl.ds(row, N_SUMS), :] += _moment_block(
+                x, y, sy, cy, n / 128.0)
+            return x, y, z, roll_v, pitch_v, yaw
+
+        carry0 = (parts_ref[0, :], parts_ref[1, :], parts_ref[2, :],
+                  parts_ref[3, :], parts_ref[4, :], parts_ref[5, :])
+        x, y, z, roll_v, pitch_v, yaw = jax.lax.fori_loop(
+            0, nt_ref[0, 0], tick, carry0)
 
         out_ref[0, :] = x
         out_ref[1, :] = y
@@ -609,19 +632,27 @@ def predict_call_multi(
     chunk: int = 64 * 1024,
     nxy: bool = True,
     nyaw: bool = True,
+    nticks=None,             # i32 scalar: real ticks (<= K); None = all K
 ):
-    """K fused predict ticks -> (new_parts, per-tick sums (K, 8, 128))."""
+    """Up to K fused predict ticks -> (new_parts, per-tick sums (K, 8, 128)).
+
+    ``nticks`` bounds the in-kernel tick loop: slots [nticks, K) are never
+    executed and their sums rows stay zero (the segmented fast path pads
+    every segment to K slots; see ``_make_kernel_multi``)."""
     n = parts.shape[1]
     K = par16.shape[0]
     chunk = min(chunk, n)
     if n % chunk:
         raise ValueError(f"particle count {n} must be divisible by chunk {chunk}")
     grid = n // chunk
+    if nticks is None:
+        nticks = K
 
     out, sums = pl.pallas_call(
         _make_kernel_multi(nxy, nyaw),
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((K, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((6, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -635,6 +666,7 @@ def predict_call_multi(
             jax.ShapeDtypeStruct((K * N_SUMS, 128), jnp.float32),
         ],
     )(
+        jnp.asarray(nticks, jnp.int32).reshape(1, 1),
         par16.astype(jnp.float32),
         jnp.asarray(seeds, jnp.int32)[None, :],
         parts.astype(jnp.float32),
