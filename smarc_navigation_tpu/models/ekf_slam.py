@@ -736,7 +736,7 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
     else:
         kind, r_sb, t_sb = "mbes", None, None
     A = a8[:, 0:6, 0:6] if a8 is not None else None
-    r_diag = jnp.diagonal(params.R) if a8 is not None else None
+    r_full = a8[:, 0:6, 8:14] if a8 is not None else None
     ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = slam_da_kernels.da_lanes(
         state_b.mu[:, 0:6], state_b.n_active, state_b.active,
         state_b.mu[:, 6:].reshape(B, L, 3), state_b.Sigma,
@@ -744,7 +744,7 @@ def da_lanes_pass(state_b: SlamState, z_b, mask_b, params: SlamParams,
         jnp.diagonal(sensor.q(params)), sensor.lam(params),
         cfg.outlier_cost, sensor.mh_dist(cfg), jnp.asarray(sensor.new_lm_cov),
         sensor=kind, r_sb=r_sb, t_sb=t_sb,
-        A=A, valid=valid, r_diag=r_diag, band=band,
+        A=A, valid=valid, r_full=r_full, band=band,
     )
     from ..ops import slam_kernels
 
@@ -779,13 +779,13 @@ def _fleet_predict(state_b: SlamState, odom_pose: jnp.ndarray,
 
     Returns ``(state, a8)``. By default Σ is left UNTOUCHED and the
     identity-gated motion Jacobian is returned as the packed a8 (B,8,16)
-    block (cols 0:8 = blockdiag(A6, I2), col 8 = r_diag·valid) for the
-    DA/update kernels to apply in VMEM — XLA-side full-Σ slab writes
-    measured 400+ us/tick of whole-Σ copies on the fleet carry
-    (docs/ROOFLINE.md), and even small (B,8,16) dynamic-update-slices cost
-    ~13-26 us each, so a8 is built with one pad + one where. With
-    ``sigma_in_xla=True`` (no event pass this tick to carry the
-    transform), Σ is predicted here and a8 comes back None."""
+    block (cols 0:8 = blockdiag(A6, I2), cols 8:16 = the full 6×6 R̃·valid
+    noise block) for the DA/update kernels to apply in VMEM — XLA-side
+    full-Σ slab writes measured 400+ us/tick of whole-Σ copies on the
+    fleet carry (docs/ROOFLINE.md), and even small (B,8,16)
+    dynamic-update-slices cost ~13-26 us each, so a8 is built with one pad
+    + one where. With ``sigma_in_xla=True`` (no event pass this tick to
+    carry the transform), Σ is predicted here and a8 comes back None."""
     dt = state_b.mu.dtype
     v1 = valid.astype(dt)[:, None]
     u_t = (odom_pose[:, 0:3] - state_b.mu_auv_odom) * v1
@@ -796,12 +796,12 @@ def _fleet_predict(state_b: SlamState, odom_pose: jnp.ndarray,
 
     g = jax.vmap(lambda a, u: jax.jacfwd(
         lambda x: rotmat_from_rpy(x) @ u)(a))(att, u_t)          # (B,3,3)
-    # constants (folded at compile): C1 = identity pattern + r_diag col,
-    # C2 = the exact 8-identity for invalid-odom lanes
+    # constants (folded at compile): C1 = identity pattern + full R block
+    # at cols 8:14, C2 = the exact 8-identity for invalid-odom lanes
     c1 = jnp.zeros((8, 16), dt)
     c1 = c1.at[jnp.arange(3), jnp.arange(3)].set(1.0)
     c1 = c1.at[jnp.arange(6, 8), jnp.arange(6, 8)].set(1.0)
-    c1 = c1.at[0:6, 8].set(jnp.diagonal(params.R).astype(dt))
+    c1 = c1.at[0:6, 8:14].set(params.R.astype(dt))
     c2 = jnp.zeros((8, 16), dt).at[jnp.arange(8), jnp.arange(8)].set(1.0)
     a8 = jnp.where(valid[:, None, None],
                    jnp.pad(g, ((0, 0), (0, 5), (3, 10))) + c1, c2)
@@ -944,6 +944,178 @@ def run_fleet(
 
     (final, _band), out = jax.lax.scan(body, (s0_b, band0_b), tl_t)
     return final, out
+
+
+def _rfc_core(tl, params, e_idx, seg_of, ev_any, cfg, names):
+    """Jitted core of ``run_fleet_compact`` (E, T static per timeline shape)."""
+    from ..utils.geometry import rpy_from_quat
+
+    od = tl.channels["odom"]
+    B, T = od.valid.shape
+    dt = jnp.float32
+    pos = od.value[..., 0:3].astype(dt)
+    if od.value.shape[-1] >= 13:
+        att = wrap_angle(
+            jax.vmap(jax.vmap(rpy_from_quat))(od.value[..., 3:7])).astype(dt)
+    else:
+        att = wrap_angle(od.value[..., 3:6]).astype(dt)
+    # per-tick odometric increments (all ticks valid — caller precondition)
+    u = pos - jnp.concatenate([jnp.zeros((B, 1, 3), dt), pos[:, :-1]], axis=1)
+    U_cum = jnp.cumsum(u, axis=1)
+
+    g = jax.vmap(jax.vmap(
+        lambda a, uu: jax.jacfwd(lambda x: rotmat_from_rpy(x) @ uu)(a)))(att, u)
+    A = jnp.zeros((B, T, 6, 6), dt)
+    A = A.at[..., 0:3, 0:3].set(jnp.eye(3, dtype=dt))
+    A = A.at[..., 0:3, 3:6].set(g)
+    R = jnp.broadcast_to(params.R.astype(dt), (B, T, 6, 6))
+
+    # segmented composition under the affine-covariance monoid:
+    # (A2,R2)∘(A1,R1) = (A2 A1, A2 R1 A2ᵀ + R2); a set reset flag on the
+    # LATER element starts a fresh segment (segment boundaries sit just
+    # after each event tick), so prefix[t] = composition since last event
+    def comb(x, y):
+        Ax, Rx, rx = x
+        Ay, Ry, ry = y
+        Ac = jnp.einsum("...ij,...jk->...ik", Ay, Ax)
+        Rc = jnp.einsum("...ij,...jk,...lk->...il", Ay, Rx, Ay) + Ry
+        m = ry[..., None, None]
+        return jnp.where(m, Ay, Ac), jnp.where(m, Ry, Rc), rx | ry
+
+    reset = jnp.concatenate(
+        [jnp.ones((1,), bool), ev_any[:-1]])           # (T,)
+    rst = jnp.broadcast_to(reset[None, :], (B, T))
+    A_seg, R_seg, _ = jax.lax.associative_scan(comb, (A, R, rst), axis=1)
+
+    E = e_idx.shape[0]
+    Ae = jnp.take(A_seg, e_idx, axis=1)                 # (B, E, 6, 6)
+    Re = jnp.take(R_seg, e_idx, axis=1)
+    Ue = jnp.take(U_cum, e_idx, axis=1)                 # (B, E, 3)
+    u_seg = Ue - jnp.concatenate(
+        [jnp.zeros((B, 1, 3), dt), Ue[:, :-1]], axis=1)
+    att_e = jnp.take(att, e_idx, axis=1)
+
+    a8e = jnp.zeros((B, E, 8, 16), dt)
+    a8e = a8e.at[..., 0:6, 0:6].set(Ae)
+    a8e = a8e.at[..., 6, 6].set(1.0)
+    a8e = a8e.at[..., 7, 7].set(1.0)
+    a8e = a8e.at[..., 0:6, 8:14].set(Re)
+
+    L = cfg.max_landmarks
+    s0 = init_state(cfg)
+    s0_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+    band0_b = jnp.broadcast_to(initial_band(s0.Sigma, L), (B, 24, L))
+
+    xs = [jnp.moveaxis(a8e, 0, 1), jnp.moveaxis(u_seg, 0, 1),
+          jnp.moveaxis(att_e, 0, 1)]
+    for n in names:
+        ev = tl.events[n]
+        xs.append(jnp.moveaxis(jnp.take(ev.value, e_idx, axis=1), 0, 1))
+        xs.append(jnp.moveaxis(jnp.take(ev.mask, e_idx, axis=1), 0, 1))
+    xs = tuple(xs)
+
+    def body(carry, x):
+        st, band = carry
+        a8_t, u_t, att_t = x[0], x[1], x[2]
+        mu = st.mu.at[:, 0:3].add(u_t)
+        mu = mu.at[:, 3:6].set(att_t)
+        st = SlamState(mu=mu, Sigma=st.Sigma, active=st.active,
+                       n_active=st.n_active,
+                       mu_auv_odom=st.mu_auv_odom + u_t)
+        a8 = a8_t
+        out = {}
+        k = 3
+        for n in names:
+            z, m = x[k], x[k + 1]
+            k += 2
+            st, matched, band = da_lanes_pass(
+                st, z, m, params, cfg, MBES if n == "mbes" else FLS,
+                a8=a8, valid=None, band=band)
+            a8 = None
+            out["matched_" + n] = matched
+        out["mu"] = st.mu[:, 0:6]
+        out["n_active"] = st.n_active
+        return (st, band), out
+
+    (final, _band), oev = jax.lax.scan(body, (s0_b, band0_b), xs)
+
+    # per-tick outputs: event slices + odometric deltas between events
+    mu_e = oev["mu"]                                    # (E, B, 6)
+    pos_ext = jnp.concatenate(
+        [jnp.broadcast_to(s0.mu[0:3], (1, B, 3)), mu_e[:, :, 0:3]], axis=0)
+    base_U = jnp.concatenate(
+        [jnp.zeros((1, B, 3), dt), jnp.moveaxis(Ue, 0, 1)], axis=0)
+    U_t = jnp.moveaxis(U_cum, 0, 1)                     # (T, B, 3)
+    mu_pos_t = pos_ext[seg_of] + (U_t - base_U[seg_of])
+    att_ext = jnp.concatenate(
+        [jnp.broadcast_to(s0.mu[3:6], (1, B, 3)), mu_e[:, :, 3:6]], axis=0)
+    att_out = jnp.where(ev_any[:, None, None], att_ext[seg_of],
+                        jnp.moveaxis(att, 0, 1))
+    out = {"mu": jnp.concatenate([mu_pos_t, att_out], axis=-1)}
+    na_ext = jnp.concatenate(
+        [jnp.broadcast_to(s0.n_active, (1, B)), oev["n_active"]], axis=0)
+    out["n_active"] = na_ext[seg_of]
+    for n in names:
+        me = oev["matched_" + n]                        # (E, B, M)
+        out["matched_" + n] = jnp.full(
+            (T,) + me.shape[1:], -1, me.dtype).at[e_idx].set(me)
+    return final, out
+
+
+_rfc_jit_cache: dict = {}
+
+
+def run_fleet_compact(
+    batched_timeline: Timeline,
+    params: SlamParams,
+    cfg: EKFSlamConfig = EKFSlamConfig(),
+):
+    """Event-compacted fleet replay: the kernel scan visits EVENT ticks only.
+
+    With valid odometry at every tick, the motion predict between events is
+    state-INDEPENDENT (attitude is absolute from odometry, the position
+    increment is odometric — ``ekf_slam_core.cpp:41-121``), so the per-tick
+    (A_t, R_t) compose OUTSIDE the scan (segmented ``associative_scan``;
+    ~log₂T fixed-size passes) and each event tick consumes ONE composed a8
+    with a full 6×6 R̃. Per-tick outputs are reconstructed exactly from the
+    event outputs plus cumulative odometry, so the output contract matches
+    ``run_fleet``.
+
+    Semantics match ``run_fleet`` up to f32 re-association (odometry-
+    increment sums and composed covariance products round differently);
+    association decisions are pinned equal on golden tracks
+    (tests/test_slam_compact.py). Requires a CONCRETE timeline and
+    all-valid odometry — otherwise this falls back to ``run_fleet``
+    (invalid-odom ticks rebroadcast the post-UPDATE attitude into the next
+    predict, which is state-dependent and cannot be precomposed).
+
+    The win is sparse-event replays (the combined north-star mission has
+    ~50% MBES occupancy at B=1); a fleet of distinct missions has ~100%
+    union event occupancy across the batch and gains nothing."""
+    tl = batched_timeline
+    if isinstance(tl.ticks, jax.core.Tracer):
+        raise ValueError("run_fleet_compact needs a concrete timeline")
+    od = tl.channels["odom"]
+    if not bool(np.asarray(od.valid).all()):
+        return run_fleet(tl, params, cfg)
+    T = int(np.asarray(tl.ticks).shape[1])
+    names = tuple(n for n in ("mbes", "fls") if n in tl.events)
+    ev_any = np.zeros(T, bool)
+    for n in names:
+        ev_any |= np.asarray(tl.events[n].mask).any(axis=(0, 2))
+    ev_any[T - 1] = True   # final virtual event carries the tail predicts
+    e_idx = np.nonzero(ev_any)[0].astype(np.int32)
+    seg_of = np.searchsorted(
+        e_idx, np.arange(T), side="right").astype(np.int32)
+
+    key = (cfg, names)
+    fn = _rfc_jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda t, p, e, s, a: _rfc_core(t, p, e, s, a, cfg, names))
+        _rfc_jit_cache[key] = fn
+    return fn(tl, params, jnp.asarray(e_idx), jnp.asarray(seg_of),
+              jnp.asarray(ev_any))
 
 
 def map_to_odom_correction(mu_pose: jnp.ndarray, odom_pose: jnp.ndarray) -> Transform:

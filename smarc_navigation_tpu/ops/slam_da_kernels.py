@@ -218,19 +218,22 @@ def _make_da_kernel(L: int, M: int, fls: bool = False, predict: bool = False):
 
         if predict:
             # in-lanes motion predict of the Σ slabs this kernel consumes
-            # (Σ' = A Σ Aᵀ + diag(r)·valid on the pose block; Σ_ll is
-            # untouched by the predict) — the raw carry Σ is passed in and
-            # no XLA op has to write the full Σ per tick. A arrives gated
-            # to the exact identity for invalid-odom lanes, making the
-            # tick a semantic no-op (single-term sums are exact).
-            vrow = pose_ref[7:8, :]                               # (1,B)
+            # (Σ' = A Σ Aᵀ + R̃ on the pose block; Σ_ll is untouched by
+            # the predict) — the raw carry Σ is passed in and no XLA op
+            # has to write the full Σ per tick. A arrives gated to the
+            # exact identity (and R̃ to zero) for invalid-odom lanes,
+            # making the tick a semantic no-op (single-term sums are
+            # exact). R̃ is a FULL per-mission 6×6 (rows 48:84): the
+            # event-compacted replay's composed segment noise
+            # Σₜ A..R..Aᵀ is not diagonal.
             Am = [[pose_ref[8 + 6 * i + j:9 + 6 * i + j, :]
                    for j in range(6)] for i in range(6)]
-            rd = [par_ref[0, 21 + i] for i in range(6)]
+            Rf = [[pose_ref[48 + 6 * i + j:49 + 6 * i + j, :]
+                   for j in range(6)] for i in range(6)]
             tmp = [[sum(Spp[k][l] * Am[j][l] for l in range(6))
                     for j in range(6)] for k in range(6)]
             Spp = [[sum(Am[i][k] * tmp[k][j] for k in range(6))
-                    + (rd[i] * vrow if i == j else 0.0)
+                    + Rf[i][j]
                     for j in range(6)] for i in range(6)]
             Spl = [[sum(Am[i][j] * Spl[j][k] for j in range(6))
                     for k in range(3)] for i in range(6)]
@@ -480,8 +483,9 @@ def da_lanes(
     t_sb: jnp.ndarray = None,  # (3,)  fls<-base translation (FLS only)
     A: jnp.ndarray = None,     # (B,6,6) motion Jacobian (identity-gated);
                                #   triggers the in-lanes Σ-slab predict
-    valid: jnp.ndarray = None,  # (B,) odom-valid gate for the R add
-    r_diag: jnp.ndarray = None,  # (6,) motion noise diag
+    valid: jnp.ndarray = None,  # (B,) odom-valid gate (kept for callers;
+                               #   the R gate is folded into r_full)
+    r_full: jnp.ndarray = None,  # (B,6,6) full motion-noise block R̃·valid
     band: jnp.ndarray = None,   # (B, 24, L) landmark block-diag band carry
                                 #   maintained by the fleet update kernel
                                 #   (ops.slam_kernels): band[b, a*8+d, l] =
@@ -496,9 +500,11 @@ def da_lanes(
     nu_sel (B,M,dim), cand (B,M,3), do (B,M) bool, add (B,M) bool,
     slot (B,M) i32).
 
-    With ``A``/``valid``/``r_diag`` given, Σ is interpreted as the RAW
-    (pre-predict) covariance and the kernel applies the motion predict to
-    the slabs it reads (``ekf_slam_core.cpp:41-121``)."""
+    With ``A``/``r_full`` given, Σ is interpreted as the RAW
+    (pre-predict) covariance and the kernel applies the motion predict
+    Σ' = A Σ Aᵀ + R̃ to the slabs it reads (``ekf_slam_core.cpp:41-121``);
+    R̃ is a full per-mission 6×6 so composed multi-tick segment noise
+    (event-compacted replay) rides the same path."""
     B, M = z.shape[0], z.shape[1]
     L = active.shape[1]
     dim = 2 if sensor == "fls" else 3
@@ -510,14 +516,15 @@ def da_lanes(
         out = jnp.zeros((rows, Bp), f32)
         return out.at[:, :B].set(x.astype(f32).T)
 
-    pose_rows = 48 if predict else 8
+    pose_rows = 84 if predict else 8
     pose_in = jnp.zeros((pose_rows, Bp), f32)
     pose_in = pose_in.at[0:6, :B].set(pose6.astype(f32).T)
     pose_in = pose_in.at[6, :B].set(n_active.astype(f32))
     if predict:
-        pose_in = pose_in.at[7, :B].set(valid.astype(f32))
         pose_in = pose_in.at[8:44, :B].set(
             A.astype(f32).reshape(B, 36).T)
+        pose_in = pose_in.at[48:84, :B].set(
+            r_full.astype(f32).reshape(B, 36).T)
     act_in = lanes(active, L)
     lm_in = lanes(lm_pos.transpose(0, 2, 1).reshape(B, 3 * L), 3 * L)
     spp_in = lanes(Sigma[:, 0:6, 0:6].reshape(B, 36), 36)
@@ -549,9 +556,6 @@ def da_lanes(
     if sensor == "fls":
         par = par.at[0, 9:18].set(r_sb.astype(f32).reshape(9))
         par = par.at[0, 18:21].set(t_sb.astype(f32))
-    if predict:
-        par = par.at[0, 21:27].set(r_diag.astype(f32))
-
     # every operation in the DA kernel is lane-local (missions in lanes,
     # componentwise rows), so large fleets grid over 128-lane mission
     # blocks — the whole-fleet block form blows VMEM past ~900 lanes at

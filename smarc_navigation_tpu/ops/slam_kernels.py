@@ -329,7 +329,7 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
             i88 = jnp.where(r88 == c88, 1.0, 0.0)
             for b in range(MB):
                 a8b = a8_ref[b][:, 0:_PAD_DIM]               # (8,8)
-                rcol = a8_ref[b][:, _PAD_DIM:_PAD_DIM + 1]   # (8,1) r·valid
+                r88v = a8_ref[b][:, _PAD_DIM:2 * _PAD_DIM]   # (8,8) R̃ block
                 n8 = a8b - i88                               # Ã − I
                 n8 = jnp.where((c88 >= 3) & (c88 < 6), n8, 0.0)  # keep B cols
                 # Bt rows 3:6 = Bᵀ (row 3+c holds B[:,3+c] of Ã−I)
@@ -349,9 +349,18 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
                 vbuf[b, 0:_PAD_DIM, :] = v3
                 ubuf[b, _PAD_DIM:2 * _PAD_DIM, :] = -v3
                 vbuf[b, _PAD_DIM:2 * _PAD_DIM, :] = bt8
+                # noise factor rows: u = −E_unit, v = the rows of the FULL
+                # R̃ block (a8 cols 8:16; validity gated upstream), so the
+                # pair contributes +Σᵣ eᵣ⊗R̃[r,:] = +R̃ exactly — a full
+                # 6×6 R̃ (needed by the event-compacted replay, whose
+                # composed segment noise Σₜ A..R..Aᵀ is not diagonal) at
+                # the same rank-6 cost as the old diagonal column
                 ediag = jnp.where((row8 == colD8) & (row8 < 6), 1.0, 0.0)
-                ubuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = -rcol * ediag
-                vbuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = ediag
+                r8d = jax.lax.dot_general(
+                    r88v, i8, dimension_numbers=(((1,), (0,)), ((), ())),
+                    **_DOTH)                                 # (8,D)
+                ubuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = -ediag
+                vbuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = r8d
 
         for b in range(MB):
             if tiled_ep:
@@ -502,7 +511,9 @@ def sequential_update_fleet(
     new_lm_cov: jnp.ndarray,  # (3,)
     cand: jnp.ndarray = None,  # (B, M, 3) new-landmark positions (optional)
     a8: jnp.ndarray = None,    # (B, 8, 16): cols 0:8 = Ã8 (motion Jacobian
-                               #   blockdiag(A6, I2)), col 8 = r_diag·valid
+                               #   blockdiag(A6, I2)), cols 8:16 = the full
+                               #   R̃ 6×6 noise block (validity-gated; rows
+                               #   0:6 × cols 8:14 live)
     band: jnp.ndarray = None,  # (B, 24, L) landmark block-diag band carry
                                #   (see the kernel's slabs note); when given
                                #   the updated band is returned as a third

@@ -206,14 +206,16 @@ def run_combined(
     through BOTH estimators on their production fast paths — the MCL bank
     through the host-segmented multi-tick Pallas kernel
     (``particle_filter.run`` with ``use_pallas=True``) and the EKF-SLAM
-    filter through the in-lanes DA-kernel fleet path
-    (``ekf_slam.run_fleet``). Returns one scalar forcing both outputs, for
-    slope timing (bench.py section 3)."""
+    filter through the event-compacted in-lanes kernel path
+    (``ekf_slam.run_fleet_compact``: the kernel scan visits the ~50% of
+    ticks that carry MBES events; predicts between events precompose
+    outside the scan). Returns one scalar forcing both outputs, for slope
+    timing (bench.py section 3)."""
     final_pf, out_pf = pf.run(
         tl_pf, pf_params, pf_cfg, n_particles=n_particles, key=key,
         scheme="systematic", use_pallas=True,
     )
-    final_s, _out_s = _slam_fleet_jit(slam_cfg)(tl_slam, slam_params)
+    final_s, _out_s = slam.run_fleet_compact(tl_slam, slam_params, slam_cfg)
     return (jnp.sum(out_pf["mean"])
             + jnp.sum(final_s.mu[:, 0:6])
             + jnp.sum(final_s.n_active))
