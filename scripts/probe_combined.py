@@ -65,15 +65,23 @@ def main():
     a_s, a_b = mk(15.0), mk(60.0)
     T_s, T_b = int(a_s[1].ticks.shape[0]), int(a_b[1].ticks.shape[0])
 
-    # --- (a) SLAM B=1 alone (the fleet path the combined workload uses) ---
-    slam_jit = fleet._slam_fleet_jit(cfg)
-
+    # --- (a) SLAM B=1 alone (the event-compacted path run_combined uses) ---
     def run_slam(ts, tp):
-        final_s, _ = slam_jit(ts, slam_params)
+        final_s, _ = slam.run_fleet_compact(ts, slam_params, cfg)
         return jnp.sum(final_s.mu[:, 0:6]) + jnp.sum(final_s.n_active)
 
     per = slope(run_slam, a_s, a_b, T_s, T_b)
-    print(f"# slam B=1 alone: {per*1e6:.0f} us/tick", file=sys.stderr)
+    print(f"# slam B=1 alone (compacted): {per*1e6:.0f} us/tick", file=sys.stderr)
+
+    # --- (a') the dense fleet path, for the compaction delta ---
+    slam_jit = fleet._slam_fleet_jit(cfg)
+
+    def run_slam_dense(ts, tp):
+        final_s, _ = slam_jit(ts, slam_params)
+        return jnp.sum(final_s.mu[:, 0:6]) + jnp.sum(final_s.n_active)
+
+    per = slope(run_slam_dense, a_s, a_b, T_s, T_b)
+    print(f"# slam B=1 alone (dense):     {per*1e6:.0f} us/tick", file=sys.stderr)
 
     # --- (b) PF alone, same path as combined ---
     def run_pf(ts, tp):
