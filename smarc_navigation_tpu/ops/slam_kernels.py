@@ -258,7 +258,8 @@ def sequential_update(
 
 
 def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
-                              slabs: bool = False, tiled_ep: bool = False):
+                              slabs: bool = False, tiled_ep: bool = False,
+                              streamed: bool = False):
     def kernel(pk_all,                         # (G, MB*M) int32 SMEM packed
                #   prefetch: lm_ix | do<<14 | add<<15 — ONE flat array
                #   because each prefetched SMEM operand's minor dims are
@@ -275,9 +276,22 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
         rest = list(rest)
         a8_ref = rest.pop(0) if predict else None
         band_in_ref = rest.pop(0) if slabs else None  # (MB, 24, L)
-        sigma_ref, mu_ref = rest.pop(0), rest.pop(0)
-        band_ref = rest.pop(0) if slabs else None     # (MB, 24, L) out
-        eall, base, ubuf, vbuf = rest
+        if streamed:
+            # phase 1 of the two-call streamed variant: Σ is read-only
+            # (factors + μ + band come out; the downdate runs in the
+            # separate tile-streamed phase-2 kernel) — no Σ output stream
+            # and no (D,D) temporaries, so the Σ INPUT stream
+            # double-buffers even at D >= 512
+            sigma_ref = None
+            mu_ref = rest.pop(0)
+            ubuf = rest.pop(0)                        # (MB, K, D) out
+            vbuf = rest.pop(0)                        # (MB, K, D) out
+            band_ref = rest.pop(0) if slabs else None
+            eall, base = rest
+        else:
+            sigma_ref, mu_ref = rest.pop(0), rest.pop(0)
+            band_ref = rest.pop(0) if slabs else None  # (MB, 24, L) out
+            eall, base, ubuf, vbuf = rest
         g = pl.program_id(0)
 
         def lmix_of(b, m):
@@ -363,7 +377,7 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
                 vbuf[b, 2 * _PAD_DIM:3 * _PAD_DIM, :] = r8d
 
         for b in range(MB):
-            if tiled_ep:
+            if tiled_ep or streamed:
                 # contraction-tiled base: split3 over 128-row slices of Σ
                 # keeps the bf16 hi/mid/lo temporaries at (128, D) instead
                 # of three (D, D) planes — the VMEM this frees is what lets
@@ -448,7 +462,9 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
             mu_new = mu_in[b] + jnp.where(row8 == 0, delta, 0.0)
             wrapped = jnp.mod(mu_new + jnp.pi, 2.0 * jnp.pi) - jnp.pi
             mu_ref[b, :, :] = jnp.where(angle_mask, wrapped, mu_new)
-            if tiled_ep:
+            if streamed:
+                pass                   # Σ downdate runs in phase 2
+            elif tiled_ep:
                 # row-tiled symmetric downdate: Σ − ½(UᵀV + VᵀU) written
                 # tile-by-tile. No (D, D) stack temporaries and no (D, D)
                 # transpose relayout — cutting those is what re-enables the
@@ -498,7 +514,31 @@ def _make_update_kernel_fleet(MB: int, M: int, predict: bool = False,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tiled_ep",))
+def _make_downdate_kernel(MB: int):
+    """Phase 2 of the streamed update: Σ' = Σ − ½(UᵀV + VᵀU), written in
+    128-row tiles (no (D,D) temporaries, exactly symmetric by construction
+    — same algebra as the tiled epilogue, see that comment). Both Σ
+    streams double-buffer; the kernel is HBM-bandwidth-bound and the two
+    HIGHEST-precision tile matmuls hide under the DMA."""
+
+    def kernel(sigma_in, u_ref, v_ref, sigma_ref):
+        D = sigma_in.shape[2]
+        for b in range(MB):
+            for r0 in range(0, D, 128):
+                r1 = min(r0 + 128, D)
+                A1 = jax.lax.dot_general(
+                    u_ref[b][:, r0:r1], v_ref[b],
+                    dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+                A2 = jax.lax.dot_general(
+                    v_ref[b][:, r0:r1], u_ref[b],
+                    dimension_numbers=(((0,), (0,)), ((), ())), **_DOTH)
+                sigma_ref[b, r0:r1, :] = (
+                    sigma_in[b][r0:r1, :] - 0.5 * (A1 + A2))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tiled_ep", "streamed"))
 def sequential_update_fleet(
     Sigma: jnp.ndarray,    # (B, D, D)
     mu: jnp.ndarray,       # (B, D)
@@ -520,6 +560,12 @@ def sequential_update_fleet(
                                #   output
     tiled_ep: bool = False,    # row-tiled prologue/epilogue (D >= 512 only;
                                #   see the VMEM note below)
+    streamed: bool | None = None,  # two-call variant (D >= 512): phase 1
+                               #   emits U/V factors + μ + band with a
+                               #   double-buffered read-only Σ stream;
+                               #   phase 2 streams the symmetric downdate
+                               #   in 128-row tiles. None = auto (on at
+                               #   D >= 512).
 ) -> tuple:
     """Fleet-batched sequential update: same math as ``sequential_update``
     per mission, MB missions per grid step for instruction parallelism.
@@ -556,8 +602,33 @@ def sequential_update_fleet(
     # as the building block for a row-STREAMED grid variant: whole-plane
     # Σ windows are why MB=2 at D=774 still OOMs (18.51M vs 16M scoped
     # VMEM even with these temporaries cut and both streams at 1 buffer).
+    # streamed stays OFF by default: measured r04 at D=774 B=32 it LOSES to
+    # the dense epilogue (866 us/fleet-tick MB=1, 1007 us MB=2-interleaved
+    # vs 796 us dense) — the grid step is serial A-chain COMPUTE, not Σ
+    # DMA, phase 2 re-pays a full Σ read+write, and Mosaic extracts no
+    # cross-mission ILP from the MB=2 interleave. Kept as a tested option
+    # (test_fleet_kernel_streamed_two_phase_large_state): it is the shape
+    # a >16M-VMEM part or a multi-core Σ-tile split would want.
+    if streamed is None:
+        streamed = False
+    streamed = streamed and D >= 512
+    if streamed:
+        tiled_ep = False
     tiled_ep = tiled_ep and D >= 512
-    if tiled_ep:
+    poff_k = (_PRED_ROWS if a8 is not None else 0) + M * _PAD_DIM
+    if streamed:
+        # phase 1 runs MB=2 with SINGLE-buffered Σ-in and U/V streams when
+        # it fits: interleaving two missions' serial A-chains is the point
+        # of the split (the compiler's scoped accounting charged 23.53M for
+        # MB=2 with double-buffered streams at D=774 — single-buffering
+        # brings it under the 16M limit)
+        per_mission = 4 * (
+            1 * D * D + 2 * 2 * 8 * D                   # Σ in x1, μ
+            + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)
+            + 2 * poff_k * D                            # U/V outs x1
+            + 2 * M * _PAD9 * D                         # eall+base scratch
+            + 6 * 128 * D)                              # loop/tile temps
+    elif tiled_ep:
         per_mission = 4 * (
             3 * D * D + 2 * 2 * 8 * D                   # Σ in x2 + out x1, μ
             + 2 * (M * _PAD9 * _PAD9 + M * _PAD_DIM * 128)
@@ -608,7 +679,11 @@ def sequential_update_fleet(
     # (D,D) epilogue temporaries leave no room — r03 measurement); the
     # tiled path affords a double-buffered Σ-in (out stays single: its
     # flush completes inside the next step's prologue).
-    if tiled_ep:
+    if streamed:
+        # single-buffer the read-only Σ stream: the freed VMEM is what
+        # lets MB=2 interleave two missions' serial chains per grid step
+        sig_in_buf = pl.Buffered(buffer_count=1) if MB > 1 else None
+    elif tiled_ep:
         sig_in_buf = None
         sig_out_buf = pl.Buffered(buffer_count=1)
     else:
@@ -638,15 +713,40 @@ def sequential_update_fleet(
     if predict:
         in_specs.append(pl.BlockSpec((MB, 8, 16), lambda g, *_: (g, 0, 0)))
         args.append(a8.astype(f32))
-    out_specs = [
-        pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0),
-                     pipeline_mode=sig_out_buf),
-        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, D, D), f32),
-        jax.ShapeDtypeStruct((B, 8, D), f32),
-    ]
+    if streamed:
+        uv_buf = pl.Buffered(buffer_count=1) if MB > 1 else None
+        out_specs = [
+            pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((MB, poff_k, D), lambda g, *_: (g, 0, 0),
+                         pipeline_mode=uv_buf),
+            pl.BlockSpec((MB, poff_k, D), lambda g, *_: (g, 0, 0),
+                         pipeline_mode=uv_buf),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, 8, D), f32),
+            jax.ShapeDtypeStruct((B, poff_k, D), f32),
+            jax.ShapeDtypeStruct((B, poff_k, D), f32),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((MB, M * _PAD9, D), f32),
+            pltpu.VMEM((MB, M * _PAD9, D), f32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((MB, D, D), lambda g, *_: (g, 0, 0),
+                         pipeline_mode=sig_out_buf),
+            pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, D, D), f32),
+            jax.ShapeDtypeStruct((B, 8, D), f32),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((MB, M * _PAD9, D), f32),
+            pltpu.VMEM((MB, M * _PAD9, D), f32),
+            pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
+            pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
+        ]
     if slabs:
         Lb = band.shape[2]
         in_specs.append(pl.BlockSpec((MB, 24, Lb), lambda g, *_: (g, 0, 0)))
@@ -658,19 +758,40 @@ def sequential_update_fleet(
         grid=(G,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((MB, M * _PAD9, D), f32),
-            pltpu.VMEM((MB, M * _PAD9, D), f32),
-            pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
-            pltpu.VMEM((MB, poff + M * _PAD_DIM, D), f32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
+    # streamed MB=2 at D=774 sits at 17.6M scoped vs the compiler's 16M
+    # default soft limit; raise it (v5e VMEM is far larger) so two
+    # missions' serial A-chains interleave per grid step
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=24 * 2 ** 20)
+               if streamed and MB > 1 else None)
     outs = pl.pallas_call(
         _make_update_kernel_fleet(MB, M, predict=predict, slabs=slabs,
-                                  tiled_ep=tiled_ep),
+                                  tiled_ep=tiled_ep, streamed=streamed),
         grid_spec=grid_spec,
         out_shape=out_shape,
+        compiler_params=cparams,
     )(*args)
+    if not streamed:
+        if slabs:
+            return outs[0], outs[1][:, 0, :], outs[2]
+        return outs[0], outs[1][:, 0, :]
+
+    # ---- phase 2: tile-streamed symmetric downdate Σ' = Σ − ½(UᵀV+VᵀU) --
+    mu_out, u_out, v_out = outs[0], outs[1], outs[2]
+    MB2 = 1
+    G2 = B // MB2
+    sig_new = pl.pallas_call(
+        _make_downdate_kernel(MB2),
+        grid=(G2,),
+        in_specs=[
+            pl.BlockSpec((MB2, D, D), lambda g: (g, 0, 0)),
+            pl.BlockSpec((MB2, poff_k, D), lambda g: (g, 0, 0)),
+            pl.BlockSpec((MB2, poff_k, D), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((MB2, D, D), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D, D), f32),
+    )(Sigma.astype(f32), u_out, v_out)
     if slabs:
-        return outs[0], outs[1][:, 0, :], outs[2]
-    return outs[0], outs[1][:, 0, :]
+        return sig_new, mu_out[:, 0, :], outs[3]
+    return sig_new, mu_out[:, 0, :]

@@ -302,3 +302,47 @@ def test_fleet_kernel_tiled_epilogue_large_state():
         np.testing.assert_allclose(S_k[b], S_ref, atol=2e-3)
     np.testing.assert_array_equal(S_k, np.swapaxes(S_k, 1, 2),
                                   err_msg="tiled epilogue output asymmetric")
+
+
+def test_fleet_kernel_streamed_two_phase_large_state():
+    """The two-call streamed variant (phase 1 emits U/V factors + μ; phase
+    2 streams the symmetric downdate in 128-row tiles) — the DEFAULT at
+    D >= 512. Must match the dense-epilogue kernel bitwise on μ and to
+    f32 tolerance on Σ (identical factor algebra; the downdate tiles
+    re-associate nothing — each output element is one contraction), and
+    the output must be exactly symmetric."""
+    from smarc_navigation_tpu.ops import slam_kernels
+
+    rng = np.random.default_rng(29)
+    B, L, M, dim = 2, 170, 4, 3
+    D = 6 + 3 * L
+    assert D >= 512
+
+    A = rng.normal(0, 0.05, (B, D, D))
+    Sigma0 = (np.einsum("bij,bkj->bik", A, A)
+              + np.eye(D)[None]).astype(np.float32)
+    mu0 = rng.normal(0, 1, (B, D)).astype(np.float32)
+    H = rng.normal(0, 0.1, (B, M, dim, 9)).astype(np.float32)
+    Sinv = rng.uniform(0.1, 0.4, (B, M))[:, :, None, None] * np.eye(dim)
+    SinvH = np.einsum("bmij,bmjk->bmik", Sinv, H).astype(np.float32)
+    nu = rng.normal(0, 0.3, (B, M, dim)).astype(np.float32)
+    slots = rng.integers(0, L, (B, M))
+    lm_ix = (6 + 3 * slots).astype(np.int32)
+    do = rng.random((B, M)) < 0.8
+    add = (rng.random((B, M)) < 0.4) & do
+    new_cov = np.array([2.0, 1.5, 1.0], np.float32)
+
+    args = (jnp.asarray(Sigma0), jnp.asarray(mu0), jnp.asarray(H),
+            jnp.asarray(SinvH), jnp.asarray(nu), jnp.asarray(lm_ix),
+            jnp.asarray(do), jnp.asarray(add), jnp.asarray(new_cov))
+    with pltpu.force_tpu_interpret_mode():
+        S_s, mu_s = slam_kernels.sequential_update_fleet(
+            *args, streamed=True)
+        S_d, mu_d = slam_kernels.sequential_update_fleet(
+            *args, streamed=False)
+    S_s, mu_s = np.asarray(S_s), np.asarray(mu_s)
+
+    np.testing.assert_array_equal(mu_s, np.asarray(mu_d))
+    np.testing.assert_allclose(S_s, np.asarray(S_d), atol=1e-5)
+    np.testing.assert_array_equal(S_s, np.swapaxes(S_s, 1, 2),
+                                  err_msg="streamed downdate asymmetric")
