@@ -250,6 +250,44 @@ def main():
 
     section("combined-northstar", sec_combined, floor_s=40.0)
 
+    # ---- 4. closed-form SAM dead-reckoning fleet ------------------------------
+    # (runs right after the north star: rounds 1-3 NEVER recorded this
+    # number — r02 timed out, r03 starved it behind ekf15, and the r04
+    # cold-compile run starved it behind loc/raycast too. It is the
+    # cheapest section; record it before the long tail can eat the budget)
+    def sec_dr():
+        from smarc_navigation_tpu.models import dead_reckoning as dr_mod
+
+        # a single replay is below timing resolution (~0.3 us per 256-mission
+        # tick) — chain 32 data-dependent replays so the slope is measurable
+        REPS_DR = 32
+
+        @jax.jit
+        def fndr(t):
+            def body(acc, _):
+                t2 = jax.tree_util.tree_map(
+                    lambda x: x + acc.astype(x.dtype) * 1e-30
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+                return acc + jnp.sum(dr_mod.run_sam_dr_vectorized(t2)), None
+            acc, _ = jax.lax.scan(
+                body, jnp.asarray(0.0, jnp.float32), None, length=REPS_DR)
+            return acc
+
+        rdr, Tdr = {}, {}
+        for dur, key in ((15.0, "s"), (120.0, "b")):
+            mdr = sim.simulate(sim.MissionSpec(duration_s=dur, seed=9))
+            btdr = fleet.batch_timelines([dr_mod.sam_timeline(mdr)] * 256)
+            Tdr[key] = int(btdr.ticks.shape[1])
+            rdr[key] = timed(fndr, btdr)
+        perdr = max(rdr["b"] - rdr["s"], 1e-9) / (Tdr["b"] - Tdr["s"]) / REPS_DR
+        RESULT["secondary"]["sam_dr_ticks_per_sec_fleet256"] = round(256 / perdr, 1)
+        print(
+            f"# sam-dr fleet (closed form): 256 missions, {perdr*1e6:.3f} "
+            f"us/fleet-tick -> {256/perdr:,.3g} ticks/s", file=sys.stderr,
+        )
+
+    section("sam-dr-fleet", sec_dr, floor_s=30.0)
+
     # ---- 4. EKF-SLAM fleet at reference-advertised shapes ---------------------
     def sec_slam256():
         # padded 256-landmark state, reference launch tunings
@@ -442,41 +480,6 @@ def main():
 
     section("raycast-fleet", sec_raycast, floor_s=40.0)
 
-    # ---- 7. closed-form SAM dead-reckoning fleet ------------------------------
-    # (runs BEFORE the ekf15 chains: round-3 lesson — sec_ekf15 burned 69 s
-    # and left <30 s, so the cheapest section never recorded its number)
-    def sec_dr():
-        from smarc_navigation_tpu.models import dead_reckoning as dr_mod
-
-        # a single replay is below timing resolution (~0.3 us per 256-mission
-        # tick) — chain 32 data-dependent replays so the slope is measurable
-        REPS_DR = 32
-
-        @jax.jit
-        def fndr(t):
-            def body(acc, _):
-                t2 = jax.tree_util.tree_map(
-                    lambda x: x + acc.astype(x.dtype) * 1e-30
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-                return acc + jnp.sum(dr_mod.run_sam_dr_vectorized(t2)), None
-            acc, _ = jax.lax.scan(
-                body, jnp.asarray(0.0, jnp.float32), None, length=REPS_DR)
-            return acc
-
-        rdr, Tdr = {}, {}
-        for dur, key in ((15.0, "s"), (120.0, "b")):
-            mdr = sim.simulate(sim.MissionSpec(duration_s=dur, seed=9))
-            btdr = fleet.batch_timelines([dr_mod.sam_timeline(mdr)] * 256)
-            Tdr[key] = int(btdr.ticks.shape[1])
-            rdr[key] = timed(fndr, btdr)
-        perdr = max(rdr["b"] - rdr["s"], 1e-9) / (Tdr["b"] - Tdr["s"]) / REPS_DR
-        RESULT["secondary"]["sam_dr_ticks_per_sec_fleet256"] = round(256 / perdr, 1)
-        print(
-            f"# sam-dr fleet (closed form): 256 missions, {perdr*1e6:.3f} "
-            f"us/fleet-tick -> {256/perdr:,.3g} ticks/s", file=sys.stderr,
-        )
-
-    section("sam-dr-fleet", sec_dr, floor_s=30.0)
 
     # ---- 8. 15-state dual EKF fleet (lanes kernel) ----------------------------
     def sec_ekf15():

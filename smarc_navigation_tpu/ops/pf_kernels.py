@@ -203,7 +203,6 @@ def systematic_resample_gather(
     from . import resampling
 
     n = parts.shape[1]
-    W = block + _wslack(block)
     BATCH = 32
     # block must be a multiple of 128: the clipped window starts/heads are
     # asserted 128-aligned to the kernel (pl.multiple_of) — a non-aligned
@@ -211,48 +210,51 @@ def systematic_resample_gather(
     # silently wrong, not slow
     if block % 128:
         raise ValueError(f"block ({block}) must be a multiple of 128")
-    if n % block or n < W:
+    # ADAPTIVE window width: the one-hot cell build is the resample's wall
+    # and costs ∝ W, while the width a call actually needs is the measured
+    # max per-block ancestor span + 128-alignment waste — near block+128
+    # for healthy weights, larger only under skew. Compile ascending
+    # variants and lax.switch on the measured requirement (the old fixed
+    # W = block + _wslack wasted ~25% of the cell passes on typical calls);
+    # anything beyond the widest variant still routes to the exact gather.
+    Ws = [w for w in (block + 128, block + _wslack(block),
+                      block + _wslack(block) + 256) if w <= n]
+    Ws = sorted(set(Ws))
+    if n % block or not Ws:
         if n == block:
-            W = n  # single-step small-bank case: window = whole bank
+            Ws = [n]  # single-step small-bank case: window = whole bank
         else:
             raise ValueError(
                 f"particle count {n} must be divisible by {block} and "
-                f">= {block + _wslack(block)}"
+                f">= {block + 128}"
             )
     n_blocks = n // block
-    # merged-window size: the last block's window start sits ~(batch-1)*block
-    # past the head in expectation; give the guard ~8 sigma of span
-    # fluctuation + the head's 128-alignment waste on top of W, or the
-    # `fits` check trips on ordinary weight spread and falls back to the
-    # 179 ms exact gather (measured: margin == one block width made
-    # batch=32 fall back on most calls)
-    batch = BATCH if (n_blocks % BATCH == 0
-                      and n >= _merged_bw(BATCH, block, W)) else 1
-    BW = _merged_bw(batch, block, W) if batch > 1 else W
 
     u = jax.random.uniform(key, (), jnp.float32)
     m_cum = resampling.systematic_counts(weights, u)
 
     # per-block window starts (first ancestor of the block), 128-aligned
     # down and clamped into range; window must reach the block's last
-    # ancestor (bounded by the next block's first)
-    ts = jnp.searchsorted(
-        m_cum, jnp.arange(0, n, block, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
-    ts_next = jnp.concatenate([ts[1:], jnp.asarray([n], jnp.int32)])
-    starts = jnp.clip((ts // 128) * 128, 0, n - W)
-    heads = jnp.clip(starts[::batch], 0, n - BW)
-    if W == n:
-        # whole-bank window: every ancestor is in range by construction
-        # (the generic guard below would wrongly demand ts[0] >= n - W + 1
-        # via the ts_next=n sentinel and route every call to the fallback)
-        fits = jnp.asarray(True)
-    else:
-        fits = jnp.max(ts_next - (ts // 128) * 128) < W
-        # merged-window condition: every block's window must sit inside
-        # its batch head's (BW,) window
-        fits = fits & (jnp.max(
-            starts - jnp.repeat(heads, batch)) <= BW - W)
+    # ancestor (bounded by the next block's first).
+    #
+    # The starts only need 128-granularity (they are floored to the lane
+    # tile anyway), so the old jnp.searchsorted over the full m_cum —
+    # measured 700 us/call at 2^20, a third of the whole GPS update — is
+    # replaced by a compare-reduce over the 128-DECIMATED prefix: with
+    # md[j] = m_cum[128(j+1)-1] (group maxima; m_cum is monotone),
+    # (ts//128)·128 == 128 · #{j: md[j] <= boundary} EXACTLY (a group is
+    # full iff its max crossed; the partial group contributes < 128).
+    # Window starts — and therefore ancestors and outputs — are bitwise
+    # unchanged; only the `fits` guard uses the 128-granular UPPER bound
+    # ts_next <= 128·(G[k+1]+1) - 1, which is conservative by at most 127
+    # (it can route a borderline call one W variant wider, never wrong).
+    md = m_cum[127::128]                                      # (n/128,)
+    bounds = jnp.arange(0, n + block, block,
+                        dtype=m_cum.dtype)                    # (n/block+1,)
+    G = jnp.sum(md[None, :] <= bounds[:, None], axis=1,
+                dtype=jnp.int32)                              # (n/block+1,)
+    base_starts = 128 * G[:-1]
+    need_ub = 128 * (G[1:] + 1) - base_starts                 # (n/block,)
 
     # pad the 6 state rows to the sublane tile (8) for aligned DMA windows
     parts8 = jnp.concatenate(
@@ -260,25 +262,53 @@ def systematic_resample_gather(
     )
 
     jitter = jitter_sd is not None
-    # the fused jitter path generates noise in (8, batch·block/8) blocks;
-    # Mosaic accepts the (8, m) -> (8m,) relayout only for m >= 1024
-    # (probed on-chip: 512 is an "unsupported shape cast"), so fuse only
-    # when the grid step spans >= 8192 outputs — production 2^20 banks run
-    # batch == 32 at block == 256; small banks jitter the plain kernel's
-    # output in XLA
-    fuse = jitter and batch * block >= 8192
 
-    def fast(_):
-        r = expand_gather_call(m_cum, parts8, starts,
-                               jnp.zeros((1,), jnp.int32), n, block, W,
-                               batch=batch, heads=heads,
-                               jitter_sd=jitter_sd if fuse else None,
-                               seed=seed)
-        if fuse:
-            return (r[0], r[1])
-        if jitter:
-            return _xla_jitter_moments(r, jitter_sd, seed)
-        return r
+    def make_fast(W):
+        # merged-window size: the last block's window start sits
+        # ~(batch-1)*block past the head in expectation; give the guard
+        # ~8 sigma of span fluctuation + the head's 128-alignment waste on
+        # top of W, or the `fits` check trips on ordinary weight spread
+        # and falls back to the 179 ms exact gather (measured: margin ==
+        # one block width made batch=32 fall back on most calls)
+        batch = BATCH if (n_blocks % BATCH == 0
+                          and n >= _merged_bw(BATCH, block, W)) else 1
+        BW = _merged_bw(batch, block, W) if batch > 1 else W
+        starts = jnp.clip(base_starts, 0, n - W)
+        heads = jnp.clip(starts[::batch], 0, n - BW)
+        if W == n:
+            # whole-bank window: every ancestor is in range by construction
+            # (the generic guard would wrongly demand ts[0] >= n - W + 1
+            # via the boundary-n sentinel and route every call to the
+            # fallback)
+            fits = jnp.asarray(True)
+        else:
+            fits = jnp.max(need_ub) <= W
+            # merged-window condition: every block's window must sit
+            # inside its batch head's (BW,) window
+            fits = fits & (jnp.max(
+                starts - jnp.repeat(heads, batch)) <= BW - W)
+
+        # the fused jitter path generates noise in (8, batch·block/8)
+        # blocks; Mosaic accepts the (8, m) -> (8m,) relayout only for
+        # m >= 1024 (probed on-chip: 512 is an "unsupported shape cast"),
+        # so fuse only when the grid step spans >= 8192 outputs —
+        # production 2^20 banks run batch == 32 at block == 256; small
+        # banks jitter the plain kernel's output in XLA
+        fuse = jitter and batch * block >= 8192
+
+        def fast(_):
+            r = expand_gather_call(m_cum, parts8, starts,
+                                   jnp.zeros((1,), jnp.int32), n, block, W,
+                                   batch=batch, heads=heads,
+                                   jitter_sd=jitter_sd if fuse else None,
+                                   seed=seed)
+            if fuse:
+                return (r[0], r[1])
+            if jitter:
+                return _xla_jitter_moments(r, jitter_sd, seed)
+            return r
+
+        return fast, fits
 
     def exact(_):
         anc = jnp.searchsorted(
@@ -289,7 +319,18 @@ def systematic_resample_gather(
             return out
         return _xla_jitter_moments(out, jitter_sd, seed)
 
-    res = jax.lax.cond(fits, fast, exact, None)
+    branches, fit_flags = [], []
+    for W in Ws:
+        fast, fits = make_fast(W)
+        branches.append(fast)
+        fit_flags.append(fits)
+    branches.append(exact)
+
+    # smallest variant that fits; the exact fallback past the widest
+    idx = jnp.asarray(len(Ws), jnp.int32)
+    for k in range(len(Ws) - 1, -1, -1):
+        idx = jnp.where(fit_flags[k], jnp.asarray(k, jnp.int32), idx)
+    res = jax.lax.switch(idx, branches, None)
     if jitter:
         return res[0][0:6], res[1]
     return res[0:6]

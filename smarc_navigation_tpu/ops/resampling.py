@@ -81,8 +81,24 @@ def systematic_counts(weights: jnp.ndarray, u) -> jnp.ndarray:
     m_cum = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     # XLA's parallel cumsum is not monotone under f32 rounding (segment
     # boundaries can step back by an ulp, which survives the ceil at large
-    # N); a true prefix sum of positive weights is — restore that invariant
-    return jax.lax.cummax(m_cum)
+    # N); a true prefix sum of positive weights is — restore that invariant.
+    #
+    # The repair is EXACTLY the global lax.cummax, computed blockwise (the
+    # global 2^20 cummax measured ~400 us/call — a fifth of the whole GPS
+    # update): cummax within each CDF_BLOCK row, then a cross-block carry
+    # max. Equality with the global cummax: blocked_cdf's value at a block
+    # start is w ⊕ (prefixᵢ ⊕ rowsumᵢ) ≥ rowsumᵢ ⊕ prefixᵢ (f32 addition
+    # is monotone for w ≥ 0 and commutative), so raw v can only step DOWN
+    # within a row — and the carry max re-applies each previous row's
+    # maximum, which is all the global running max could have carried.
+    if n % CDF_BLOCK or n <= CDF_BLOCK:
+        return jax.lax.cummax(m_cum)
+    rows = m_cum.reshape(n // CDF_BLOCK, CDF_BLOCK)
+    rows = jax.lax.cummax(rows, axis=1)
+    carry = jax.lax.cummax(rows[:, -1])
+    prev = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(jnp.int32).min, jnp.int32), carry[:-1]])
+    return jnp.maximum(rows, prev[:, None]).reshape(n)
 
 
 def _inverse_cdf(weights: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
