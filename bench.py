@@ -20,7 +20,7 @@ shapes except the time axis), each forced by fetching a jnp.sum scalar —
 fixed costs cancel, and the number is work actually executed.
 
 Robustness: sections run in priority order (headline first) under a
-wall-clock budget (env BENCH_BUDGET_S, default 420 s); a section is skipped
+wall-clock budget (env BENCH_BUDGET_S, default 560 s); a section is skipped
 if the remaining budget is below its floor, and retried once on failure
 (the axon tunnel occasionally stalls — CLAUDE.md).
 """
@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
 
 RESULT = {
     "metric": "ekf_slam_filter_steps_per_sec_fleet128",

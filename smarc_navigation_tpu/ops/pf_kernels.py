@@ -195,11 +195,13 @@ def systematic_resample_gather(
     — acceptable for weight-collapse resamples, which in a running filter
     happen at most once at the first fix).
 
-    The one-hot cell build is O(N·W) VPU work (W = block + slack, slack
-    fixed), which favors small blocks; per-block MXU latency favors large
-    ones. Swept at 2^20 (merged batch window, now 32 blocks / 2 DMAs per
-    grid step): block 128 -> 3.46 ms, 256 -> 2.32 ms, 512 -> 2.54 ms,
-    1024 -> 4.28 ms per resample; 256 is the knee."""
+    The one-hot cell build is O(N·W) VPU work (W adaptive, see Ws below),
+    which favors small blocks; per-block MXU latency favors large ones.
+    Swept at 2^20 (merged batch window, 32 blocks / 2 DMAs per grid step;
+    whole-call numbers INCLUDING the pre-r04 XLA prep): block 128 ->
+    3.46 ms, 256 -> 2.32 ms, 512 -> 2.54 ms, 1024 -> 4.28 ms; 256 is the
+    knee. Kernel-only at block=256 (r04, chained slope): 1.28 ms at
+    W=512, 1.21 ms at W=384 — the cells are only mildly W-bound."""
     from . import resampling
 
     n = parts.shape[1]
