@@ -126,15 +126,19 @@ def _make_resample_kernel(batch: int, W: int, jitter: bool = False):
             onehot = A - A_prev                                    # 0/1 in bf16
 
             pw = pwin[:, pl.ds(sb, W)]                             # (8, W) f32
-            hi, mid, lo = _split3(pw)
             # DEFAULT precision: the package-wide "highest" would ask for a
             # 3-pass f32 emulation that Mosaic rejects for bf16 operands;
-            # bf16 x {0,1} products accumulated in f32 are already exact
+            # bf16 x {0,1} products accumulated in f32 are already exact.
+            # The hi/mid/lo passes are STACKED on the sublane axis into ONE
+            # (24, W) dot — the kernel is dominated by per-block fixed cost
+            # (~270 ns/block from the block sweep), so one dot beats three;
+            # folding r[0:8]+r[8:16]+r[16:24] keeps the exact same f32 adds
             dot = functools.partial(
                 jnp.dot, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
-            acc = dot(hi, onehot) + dot(mid, onehot) + dot(lo, onehot)
-            out_ref[:, b * K:(b + 1) * K] = acc
+            hml = jnp.concatenate(_split3(pw), axis=0)             # (24, W)
+            r = dot(hml, onehot)                                   # (24, K)
+            out_ref[:, b * K:(b + 1) * K] = r[0:8] + r[8:16] + r[16:24]
 
         if jitter:
             # x/y/yaw jitter (auv_pf.py:193-198) + lane-partial moment
