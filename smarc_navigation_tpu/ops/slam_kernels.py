@@ -564,8 +564,12 @@ def sequential_update_fleet(
                                #   emits U/V factors + μ + band with a
                                #   double-buffered read-only Σ stream;
                                #   phase 2 streams the symmetric downdate
-                               #   in 128-row tiles. None = auto (on at
-                               #   D >= 512).
+                               #   in 128-row tiles. OPT-IN only (None =
+                               #   off): measured SLOWER than the dense
+                               #   epilogue at D=774 (866 vs 796 µs,
+                               #   docs/ROOFLINE.md r04) — kept as a
+                               #   tested building block for larger-VMEM
+                               #   parts / multi-core Σ-tile splits.
 ) -> tuple:
     """Fleet-batched sequential update: same math as ``sequential_update``
     per mission, MB missions per grid step for instruction parallelism.

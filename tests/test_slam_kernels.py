@@ -306,8 +306,10 @@ def test_fleet_kernel_tiled_epilogue_large_state():
 
 def test_fleet_kernel_streamed_two_phase_large_state():
     """The two-call streamed variant (phase 1 emits U/V factors + μ; phase
-    2 streams the symmetric downdate in 128-row tiles) — the DEFAULT at
-    D >= 512. Must match the dense-epilogue kernel bitwise on μ and to
+    2 streams the symmetric downdate in 128-row tiles) — OPT-IN only,
+    measured slower than the dense epilogue at D=774 (docs/ROOFLINE.md
+    r04) and kept as a tested building block.
+    Must match the dense-epilogue kernel bitwise on μ and to
     f32 tolerance on Σ (identical factor algebra; the downdate tiles
     re-associate nothing — each output element is one contraction), and
     the output must be exactly symmetric."""
