@@ -311,6 +311,8 @@ def systematic_resample_gather(
             if fuse:
                 return (r[0], r[1])
             if jitter:
+                if jax.default_backend() == "tpu" and n % 8192 == 0:
+                    return jitter_moments_call(r, jitter_sd, seed)
                 return _xla_jitter_moments(r, jitter_sd, seed)
             return r
 
@@ -323,6 +325,10 @@ def systematic_resample_gather(
         out = jnp.take(parts8, anc, axis=1)
         if not jitter:
             return out
+        if jax.default_backend() == "tpu" and n % 8192 == 0:
+            # same hardware-PRNG stream as the fused branch (r05): the
+            # jitter no longer depends on which branch the switch took
+            return jitter_moments_call(out, jitter_sd, seed)
         return _xla_jitter_moments(out, jitter_sd, seed)
 
     branches, fit_flags = [], []
@@ -368,6 +374,104 @@ def _xla_jitter_moments(out8, jitter_sd, seed):
     out8 = out8.at[1].add(n3[1] * jitter_sd[1])
     out8 = out8.at[5].add(n3[2] * jitter_sd[2])
     return out8, moment_sums(out8)
+
+
+def _jitter_kernel(jp_ref, seed_ref, parts_ref, out_ref, sums_ref):
+    """Standalone form of the fused resample tail (``_make_resample_kernel``
+    with ``jitter``): same per-chunk hardware-PRNG seeding, draw shape and
+    op order, so its x/y/yaw jitter values are BITWISE the fused kernel's
+    for the same (seed, global chunk index). seed_ref (1,2) SMEM i32 =
+    [seed, global chunk offset] — a particle shard passes its shard's
+    first global chunk index as the offset and reproduces the unsharded
+    stream exactly (VERDICT r04 #3)."""
+    c = pl.program_id(0)
+    n = out_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        sums_ref[:, :] = jnp.zeros_like(sums_ref)
+
+    pltpu.prng_seed(seed_ref[0, 0] + (seed_ref[0, 1] + c))
+    u = _uniform_from_bits(pltpu.bitcast(
+        pltpu.prng_random_bits((32, n // 8)), jnp.uint32))
+    r1 = jnp.sqrt(-2.0 * _fast_ln(u[0:8]))
+    r2 = jnp.sqrt(-2.0 * _fast_ln(u[16:24]))
+    x_n = parts_ref[0, :] + (r1 * _sin2pi(u[8:16] + 0.25)).reshape(n) \
+        * jp_ref[0, 0]
+    y_n = parts_ref[1, :] + (r1 * _sin2pi(u[8:16])).reshape(n) \
+        * jp_ref[0, 1]
+    yaw_n = parts_ref[5, :] + (r2 * _sin2pi(u[24:32] + 0.25)).reshape(n) \
+        * jp_ref[0, 2]
+    out_ref[0, :] = x_n
+    out_ref[1, :] = y_n
+    out_ref[2, :] = parts_ref[2, :]
+    out_ref[3, :] = parts_ref[3, :]
+    out_ref[4, :] = parts_ref[4, :]
+    out_ref[5, :] = yaw_n
+    out_ref[6, :] = parts_ref[6, :]
+    out_ref[7, :] = parts_ref[7, :]
+
+    sy, cy = _sincos(yaw_n)
+    _accum_moments(sums_ref, 0, x_n, y_n, sy, cy, n / 128.0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def jitter_moments_call(
+    parts: jnp.ndarray,       # (6, N) or (8, N) resampled bank
+    jitter_sd: jnp.ndarray,   # (3,) x/y/yaw stds
+    seed,                     # i32 scalar (the fused path's randint seed)
+    seed_off=0,               # i32: global chunk index of local chunk 0
+    chunk: int = 8192,
+):
+    """x/y/yaw resample jitter + lane-partial moment sums as one standalone
+    Pallas pass — the EXACT noise stream of the fused resample-kernel tail
+    (chunk c of the bank seeds the hardware PRNG with
+    ``seed + seed_off + c`` and draws one (32, chunk/8) block).
+
+    Two users: (a) the particle-sharded fast update
+    (``particle_filter._update_resample_fast_shard``) passes
+    ``seed_off = shard_index * (Ns // 8192)`` so ``pf.run(use_pallas=True,
+    pmesh=...)`` banks are bitwise the unsharded fast path's at any shard
+    count; (b) the unsharded weight-collapse exact fallback, so every TPU
+    fast-path branch shares ONE jitter stream definition (the stream no
+    longer depends on which window variant/fallback the resample took).
+    Returns (parts with input's row count, (8, 128) sums)."""
+    rows, n = parts.shape
+    if n % chunk:
+        raise ValueError(f"bank width {n} must be divisible by chunk {chunk}")
+    if chunk % 8192:
+        # (8, m) -> (8m,) noise relayout needs m >= 1024 (probed on-chip)
+        raise ValueError(f"chunk {chunk} must be a multiple of 8192")
+    parts8 = parts.astype(jnp.float32)
+    if rows == 6:
+        parts8 = jnp.concatenate(
+            [parts8, jnp.zeros((2, n), jnp.float32)], axis=0)
+    grid = n // chunk
+    jp = jnp.zeros((1, 8), jnp.float32).at[0, 0:3].set(
+        jitter_sd.astype(jnp.float32))
+    sd2 = jnp.stack([jnp.asarray(seed, jnp.int32),
+                     jnp.asarray(seed_off, jnp.int32)]).reshape(1, 2)
+    out, sums = pl.pallas_call(
+        _jitter_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_SUMS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((N_SUMS, 128), jnp.float32),
+        ],
+    )(jp, sd2, parts8)
+    return out[0:rows], sums
 
 
 def expand_gather_call(

@@ -45,15 +45,41 @@ def tree_sum(x: jnp.ndarray) -> jnp.ndarray:
     bit-identical under ANY sharding/layout — unlike ``jnp.sum``, whose
     reduction GSPMD legally reassociates into local-reduce + all-reduce
     (measured: one-ulp weight drift flips systematic-resample ancestors at
-    stratum boundaries, ~0.02%/update at 2^14)."""
+    stratum boundaries, ~0.02%/update at 2^14).
+
+    Pairing is LSB-first (adjacent pairs, ``x[0::2] + x[1::2]``), not the
+    fold-in-half form (r05): with contiguous equal shards whose width is a
+    power of two, no pair crosses a shard boundary until every shard has
+    folded to one element — so ``tree_sum_shard`` can compute the SAME
+    f32 value inside ``shard_map`` from one tiny all-gather, which is what
+    makes the Pallas fast path's weights (hence ancestors, hence banks)
+    bitwise shard-count-invariant. Strided slices of a sharded vector also
+    stay shard-local under GSPMD (output element j reads input 2j — same
+    contiguous block), so the dense-path layout invariance is unchanged."""
     n = x.shape[0]
     p = 1 << max(n - 1, 0).bit_length()
     if p != n:
         x = jnp.concatenate([x, jnp.zeros((p - n,), x.dtype)])
     while p > 1:
         p //= 2
-        x = x[:p] + x[p:]
+        x = x[0::2] + x[1::2]
     return x[0]
+
+
+def tree_sum_shard(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Global ``tree_sum`` of a contiguously sharded vector, from inside
+    ``shard_map``: shard-local LSB-first fold to one scalar + an all-gather
+    of the per-shard scalars + the same fold over those. Bitwise equal to
+    ``tree_sum(concat(shards))`` when the local length is a power of two
+    (the global fold's first log2(Ns) levels never pair across a
+    contiguous shard boundary; the remaining levels are exactly the fold
+    of the per-shard scalars, zero-padding included). Non-power-of-two
+    shards fall back to gathering the full vector — same value, more
+    bytes."""
+    ns = x.shape[0]
+    if ns & (ns - 1):
+        return tree_sum(jax.lax.all_gather(x, axis_name, tiled=True))
+    return tree_sum(jax.lax.all_gather(tree_sum(x), axis_name))
 
 
 def normalize_weights_det(logw: jnp.ndarray) -> jnp.ndarray:
@@ -68,6 +94,19 @@ def normalize_weights_det(logw: jnp.ndarray) -> jnp.ndarray:
     w = e / tree_sum(e)
     w = w + 1e-30
     return w / tree_sum(w)
+
+
+def normalize_weights_det_shard(logw: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Shard body of ``normalize_weights_det`` (call inside ``shard_map``
+    over a contiguously particle-sharded bank): ``pmax`` is exactly
+    associative and the tree sums route through ``tree_sum_shard``, so the
+    returned local weight slice is BITWISE the corresponding slice of the
+    unsharded ``normalize_weights_det`` — at any shard count."""
+    m = jax.lax.pmax(jnp.max(logw), axis_name)
+    e = jnp.exp(logw - m)
+    w = e / tree_sum_shard(e, axis_name)
+    w = w + 1e-30
+    return w / tree_sum_shard(w, axis_name)
 
 
 def systematic_counts(weights: jnp.ndarray, u) -> jnp.ndarray:
