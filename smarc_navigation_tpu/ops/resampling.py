@@ -38,48 +38,77 @@ def blocked_cdf(weights: jnp.ndarray) -> jnp.ndarray:
     return (rowcum + prefix[:, None]).reshape(n)
 
 
-def tree_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """Bit-deterministic sum of a 1-D vector: an explicit radix-2 halving
-    tree (zero-padded to a power of two). Every addition is an elementwise
-    op whose order is pinned by the program DAG, so the f32 result is
-    bit-identical under ANY sharding/layout — unlike ``jnp.sum``, whose
-    reduction GSPMD legally reassociates into local-reduce + all-reduce
-    (measured: one-ulp weight drift flips systematic-resample ancestors at
-    stratum boundaries, ~0.02%/update at 2^14).
-
-    Pairing is LSB-first (adjacent pairs, ``x[0::2] + x[1::2]``), not the
-    fold-in-half form (r05): with contiguous equal shards whose width is a
-    power of two, no pair crosses a shard boundary until every shard has
-    folded to one element — so ``tree_sum_shard`` can compute the SAME
-    f32 value inside ``shard_map`` from one tiny all-gather, which is what
-    makes the Pallas fast path's weights (hence ancestors, hence banks)
-    bitwise shard-count-invariant. Strided slices of a sharded vector also
-    stay shard-local under GSPMD (output element j reads input 2j — same
-    contiguous block), so the dense-path layout invariance is unchanged."""
+def _fold_half(x: jnp.ndarray) -> jnp.ndarray:
+    """Radix-2 fold-in-half sum of a small 1-D vector (zero-padded to a
+    power of two). Contiguous halves only — every addition is an
+    elementwise op whose operands are pinned by the program DAG, so the
+    f32 result is bit-identical under ANY sharding/layout."""
     n = x.shape[0]
     p = 1 << max(n - 1, 0).bit_length()
     if p != n:
         x = jnp.concatenate([x, jnp.zeros((p - n,), x.dtype)])
     while p > 1:
         p //= 2
-        x = x[0::2] + x[1::2]
+        x = x[:p] + x[p:]
     return x[0]
+
+
+def _row_fold(y: jnp.ndarray) -> jnp.ndarray:
+    """Per-row fold-in-half sums of a 2-D (rows, CDF_BLOCK) view — the
+    shard-local half of ``tree_sum``'s pinned order. Elementwise only."""
+    c = y.shape[1]
+    while c > 1:
+        c //= 2
+        y = y[:, :c] + y[:, c:]
+    return y[:, 0]
+
+
+def tree_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit-deterministic sum of a 1-D vector, pinned to a fixed two-level
+    fold-in-half order: within CDF_BLOCK-wide rows, then across the row
+    sums. Unlike ``jnp.sum``, whose reduction GSPMD legally reassociates
+    into local-reduce + all-reduce (measured: one-ulp weight drift flips
+    systematic-resample ancestors at stratum boundaries, ~0.02%/update at
+    2^14), every addition here is an ELEMENTWISE op whose operands are
+    pinned by the program DAG — IEEE scalar semantics make the result
+    bit-identical under any layout, fusion, sharding, or backend, and the
+    two-level structure makes it decomposable over contiguous shards whose
+    width tiles by CDF_BLOCK: rows never cross a shard boundary, so
+    ``tree_sum_shard`` rebuilds the global value from a 2 KB row-sum
+    all-gather.
+
+    Formulation notes (r05, ``scripts/measure_treesum.py`` on chip at
+    2^20): LSB-first strided pairing (``x[0::2]+x[1::2]``) is shard-local
+    too but each stride-2 slice of a big vector is a lane relayout —
+    32.3 ms per normalize, a 13x regression of the whole PF tick; a
+    ``(R,2048) @ ones`` row dot is ~free and measured shard-invariant, but
+    its K-accumulation order is compiler-internal (eager vs jit on CPU
+    differ by 1 ulp even behind an optimization_barrier) — not a sound
+    basis for a bitwise claim. The contiguous fold-in-half form measures
+    ~free (<10 us/normalize) AND is pinned by IEEE semantics. Vectors
+    that don't tile by CDF_BLOCK fold directly (small banks; the
+    distributed paths require tiling anyway)."""
+    n = x.shape[0]
+    if n % CDF_BLOCK or n <= CDF_BLOCK:
+        return _fold_half(x)
+    return _fold_half(_row_fold(x.reshape(n // CDF_BLOCK, CDF_BLOCK)))
 
 
 def tree_sum_shard(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Global ``tree_sum`` of a contiguously sharded vector, from inside
-    ``shard_map``: shard-local LSB-first fold to one scalar + an all-gather
-    of the per-shard scalars + the same fold over those. Bitwise equal to
-    ``tree_sum(concat(shards))`` when the local length is a power of two
-    (the global fold's first log2(Ns) levels never pair across a
-    contiguous shard boundary; the remaining levels are exactly the fold
-    of the per-shard scalars, zero-padding included). Non-power-of-two
+    ``shard_map``: shard-local per-row folds + an all-gather of the row
+    sums (2 KB at 2^20) + the same fold-in-half every shard computes
+    redundantly. Bitwise equal to ``tree_sum(concat(shards))`` whenever
+    the local length tiles by CDF_BLOCK — rows never cross a contiguous
+    shard boundary and the gathered row-sum vector is exactly the
+    unsharded one (any shard count, power of two or not). Non-tiling
     shards fall back to gathering the full vector — same value, more
     bytes."""
     ns = x.shape[0]
-    if ns & (ns - 1):
+    if ns % CDF_BLOCK:
         return tree_sum(jax.lax.all_gather(x, axis_name, tiled=True))
-    return tree_sum(jax.lax.all_gather(tree_sum(x), axis_name))
+    rows = _row_fold(x.reshape(ns // CDF_BLOCK, CDF_BLOCK))
+    return _fold_half(jax.lax.all_gather(rows, axis_name, tiled=True))
 
 
 def normalize_weights_det(logw: jnp.ndarray) -> jnp.ndarray:

@@ -165,10 +165,11 @@ def test_tpu_dist_check_artifact():
 
 def test_tree_sum_shard_bitwise_on_mesh():
     """``tree_sum_shard`` inside shard_map over the particle axis must
-    reproduce the unsharded ``tree_sum`` BITWISE (the LSB-first halving
-    tree's first log2(Ns) levels are shard-local for power-of-two shards)
-    — this is the mechanism behind the fast path's shard-invariant
-    weights. Also covers the non-power-of-two-shard gather fallback."""
+    reproduce the unsharded ``tree_sum`` BITWISE (the per-row dot sums are
+    shard-local for CDF_BLOCK-tiling shards; the cross-row fold runs
+    redundantly on the gathered row sums) — this is the mechanism behind
+    the fast path's shard-invariant weights. Covers power-of-two AND
+    non-power-of-two (3*2048) shard widths."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
