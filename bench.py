@@ -35,6 +35,9 @@ import numpy as np
 
 T0 = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
+# dev/debug: run only the named sections (comma-separated), e.g.
+# BENCH_ONLY=pf-weakscale python bench.py — unset in driver runs.
+ONLY = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
 
 RESULT = {
     "metric": "ekf_slam_filter_steps_per_sec_fleet128",
@@ -55,6 +58,8 @@ def remaining():
 
 def section(name, fn, floor_s=40.0):
     """Run one bench section under the budget; retry once; re-emit JSON."""
+    if ONLY and name not in ONLY:
+        return
     if remaining() < floor_s:
         print(f"# SKIP {name}: {remaining():.0f}s left < {floor_s:.0f}s floor",
               file=sys.stderr)
@@ -249,6 +254,143 @@ def main():
         )
 
     section("combined-northstar", sec_combined, floor_s=40.0)
+
+    # ---- 3b. PF weak-scaling sweep + multi-chip north-star projection --------
+    # (VERDICT r04 #1: the ">=4 chips clears 1000x" claim needs a measured
+    # basis. Each N/k point of this sweep is EXACTLY the per-shard work of a
+    # k-chip particle shard of the 2^20 mission — the particle axis divides
+    # both the O(N*W) cell build and the O(N) HBM traffic, and the shard
+    # program is the same kernel set (bitwise-proven: data/dist_check_tpu.
+    # json). Collective costs are modeled from the measured DMA law
+    # (docs/ROOFLINE.md: ~115 us / 48 MB) with a 10x ICI derate + 1 us/op
+    # latency — conservative; the halo bytes are fixed ~0.3 MB/update.)
+    def sec_weakscale():
+        def pf_tl(duration, updates):
+            m = sim.simulate(sim.MissionSpec(
+                duration_s=duration, seed=3,
+                gps_surface_z=(-100.0 if updates else 100.0)))
+            return pf.pf_timeline(m, freq_hz=10.0)
+
+        tls = {(d, u): pf_tl(d, u) for d in (15.0, 60.0)
+               for u in (True, False)}
+        T_s = int(tls[(15.0, True)].ticks.shape[0])
+        T_b = int(tls[(60.0, True)].ticks.shape[0])
+
+        # a single replay at small N is ~15-60 ms — within the ~24 ms
+        # dispatch jitter of this backend. Chain REPS data-dependent
+        # replays (same trick as the DR section) so the small/big slope
+        # difference is hundreds of ms.
+        REPS_WS = 8
+
+        full_us, pred_us = {}, {}
+        for n in (1 << 17, 1 << 18, 1 << 19, 1 << 20):
+            cfg_n = PFConfig(particle_count=n)
+            par_n = pf.make_params(cfg_n)
+
+            @jax.jit
+            def run_n(t, _par=par_n, _cfg=cfg_n, _n=n):
+                def body(acc, _):
+                    t2 = jax.tree_util.tree_map(
+                        lambda x: x + acc.astype(x.dtype) * 1e-30
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+                    out = pf.run(t2, _par, _cfg, n_particles=_n,
+                                 scheme="systematic", use_pallas=True)
+                    return acc + jnp.sum(out[1]["mean"]), None
+                acc, _ = jax.lax.scan(
+                    body, jnp.asarray(0.0, jnp.float32), None,
+                    length=REPS_WS)
+                return acc
+
+            full = slope(run_n, (tls[(15.0, True)],), (tls[(60.0, True)],),
+                         REPS_WS * T_s, REPS_WS * T_b)
+            pred = slope(run_n, (tls[(15.0, False)],), (tls[(60.0, False)],),
+                         REPS_WS * T_s, REPS_WS * T_b)
+            full_us[n], pred_us[n] = full * 1e6, pred * 1e6
+            RESULT["secondary"][f"pf_tick_us_full_n{n}"] = round(full * 1e6, 1)
+            RESULT["secondary"][f"pf_tick_us_predict_n{n}"] = round(
+                pred * 1e6, 1)
+            print(f"# pf weak-scale N=2^{n.bit_length()-1}: full "
+                  f"{full*1e6:.1f} us/tick, predict-leg {pred*1e6:.1f} "
+                  f"us/tick, update-leg {(full-pred)*1e6:.1f} us/tick",
+                  file=sys.stderr)
+
+        # SLAM leg of the combined mission (B=1, event-compacted) from THIS
+        # run's combined measurement; fall back to the r04 probe value
+        comb = RESULT["secondary"].get("combined_1M_pf_slam_realtime_factor")
+        slam_leg_us = (max(1e5 / comb - full_us[1 << 20], 0.0)
+                       if comb else 17.4)
+
+        # collective bytes per update call per shard (halo H=4096): two
+        # 8-row particle halos + two count halos + the blocked-CDF prefix
+        # all-gather; DMA law 115 us / 48 MB, derated 10x for ICI, + 1 us
+        # latency x 6 collectives; updates land every ~10th tick
+        n_big = 1 << 20
+        upd_every = T_b / max(1, int(np.asarray(
+            tls[(60.0, True)].channels["gps"].fresh).sum()))
+        for k in (2, 4, 8):
+            bytes_call = 2 * 8 * 4096 * 4 + 2 * 4096 * 4 \
+                + (n_big // k // 2048) * 4 * k
+            coll_us = (bytes_call / 48e6 * 115.0) * 10.0 + 6.0
+            tick_us = full_us[n_big // k] + slam_leg_us + coll_us / upd_every
+            proj = 1e5 / tick_us
+            RESULT["secondary"][f"projected_{k}chip_north_star"] = round(
+                proj, 1)
+            print(f"# projected {k}-chip north star: {full_us[n_big//k]:.1f}"
+                  f" (pf shard) + {slam_leg_us:.1f} (slam) + "
+                  f"{coll_us/upd_every:.1f} (collectives) us/tick -> "
+                  f"{proj:,.0f}x real-time", file=sys.stderr)
+
+    section("pf-weakscale", sec_weakscale, floor_s=70.0)
+
+    # ---- 3c. fleet-scale combined: 32 missions x 2^18 particles each ----------
+    # (VERDICT r04 weak #6 / next #9: the B=1 north star rides event
+    # compaction, which distinct-mission fleets cannot; this publishes the
+    # fleet-shape combined number on the production paths — SLAM through
+    # the dense lanes-kernel fleet (run_fleet, B=32), each mission's MCL
+    # through the segmented Pallas fast path, sequentially (one chip
+    # serializes VPU work anyway). Aggregate = B missions' 10 Hz seconds
+    # per wall second.)
+    def sec_fleet_combined():
+        from smarc_navigation_tpu.io.workloads import combined_slam_cfg
+
+        B, n_part = 32, 1 << 18
+        cfg = combined_slam_cfg()
+        slam_params = slam.make_params(cfg)
+        pf_cfg = PFConfig(particle_count=n_part)
+        pf_params = pf.make_params(pf_cfg)
+        run_slam_b = jax.jit(
+            lambda t: jnp.sum(slam.run_fleet(t, slam_params, cfg)[0].mu))
+
+        def mk(duration):
+            tl_slam = slam_timelines(cfg, duration, B)
+            pfs = []
+            for i in range(8):  # 8 distinct missions tiled to B
+                m = sim.simulate(sim.MissionSpec(
+                    duration_s=duration, seed=100 + i, gps_surface_z=-100.0))
+                pfs.append(pf.pf_timeline(m, freq_hz=10.0))
+            return tl_slam, (pfs * (B // 8))[:B]
+
+        def run_fc(tl_slam, tl_pfs):
+            acc = run_slam_b(tl_slam)
+            for i, t in enumerate(tl_pfs):
+                acc = acc + jnp.sum(pf.run(
+                    t, pf_params, pf_cfg, n_particles=n_part,
+                    key=jax.random.PRNGKey(1000 + i),
+                    scheme="systematic", use_pallas=True)[1]["mean"])
+            return acc
+
+        a_s, a_b = mk(15.0), mk(60.0)
+        T_s = int(a_s[0].ticks.shape[1])
+        T_b = int(a_b[0].ticks.shape[1])
+        per_tick = slope(run_fc, a_s, a_b, T_s, T_b)
+        agg = B * 0.1 / per_tick
+        RESULT["secondary"]["fleet_combined_32x256k_aggregate_realtime"] = \
+            round(agg, 1)
+        print(f"# fleet combined (B={B} x 2^18-PF + SLAM): "
+              f"{per_tick*1e6:.0f} us/fleet-tick -> {agg:,.0f}x aggregate "
+              f"({0.1/per_tick:,.1f}x per mission)", file=sys.stderr)
+
+    section("fleet-combined", sec_fleet_combined, floor_s=60.0)
 
     # ---- 4. closed-form SAM dead-reckoning fleet ------------------------------
     # (runs right after the north star: rounds 1-3 NEVER recorded this
