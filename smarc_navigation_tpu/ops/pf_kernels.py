@@ -194,10 +194,15 @@ def systematic_resample_gather(
     spans partition the input) but is unbounded under degenerate weights
     (long zero-count runs). A per-call guard measures the true max
     window requirement in XLA and routes the rare oversized case to an
-    exact searchsorted+gather fallback, so the result is exact for every
-    weight vector (the fallback's XLA gather costs ~100x the kernel at 2^20
-    — acceptable for weight-collapse resamples, which in a running filter
-    happen at most once at the first fix).
+    exact scatter+cummax+gather fallback, so the result is exact for every
+    weight vector. r05: the fallback was ``jnp.searchsorted`` + take
+    (~179 ms at 2^20); healthy-filter span outliers fire it ~2-3% of
+    updates (measured: 2/64 at 2^18 with the old 768-wide top tier), and
+    ONE firing inside a bench window poisons the whole slope — so the top
+    W tier is now block+768 and the fallback ancestors come from
+    ``resampling._expand_blocks`` (scatter + running max, ~12 ms at 2^20,
+    same ancestors by definition: slot j belongs to the smallest i with
+    m_cum[i] > j).
 
     The one-hot cell build is O(N·W) VPU work (W adaptive, see Ws below),
     which favors small blocks; per-block MXU latency favors large ones.
@@ -224,7 +229,7 @@ def systematic_resample_gather(
     # W = block + _wslack wasted ~25% of the cell passes on typical calls);
     # anything beyond the widest variant still routes to the exact gather.
     Ws = [w for w in (block + 128, block + _wslack(block),
-                      block + _wslack(block) + 256) if w <= n]
+                      block + 768) if w <= n]
     Ws = sorted(set(Ws))
     if n % block or not Ws:
         if n == block:
@@ -319,9 +324,7 @@ def systematic_resample_gather(
         return fast, fits
 
     def exact(_):
-        anc = jnp.searchsorted(
-            m_cum, jnp.arange(n, dtype=jnp.int32), side="right"
-        )
+        anc = resampling._expand_blocks(m_cum)
         out = jnp.take(parts8, anc, axis=1)
         if not jitter:
             return out

@@ -112,29 +112,30 @@ def tree_sum_shard(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 
 def normalize_weights_det(logw: jnp.ndarray) -> jnp.ndarray:
-    """Layout-invariant weight normalization: exp(logw − max) scaled by
-    ``tree_sum``, with the reference's additive floor (``auv_pf.py:163-166``
-    adds 1e-200 then renormalizes; 1e-30 here — f32). ``jnp.max`` is exactly
-    associative, the tree sums are order-pinned, and the elementwise tail is
-    layout-independent — so a sharded bank produces bitwise the same weights
-    (hence the same ancestors) as the single-device program."""
+    """Layout-invariant weight normalization: exp(logw − max) + floor,
+    scaled by ONE ``tree_sum`` — the reference's add-floor-then-renormalize
+    (``auv_pf.py:163-166`` adds 1e-200 to the raw pdf weights then divides
+    by the sum; 1e-30 here — f32). The max subtraction already pins
+    max(e) == 1, so the floor's relative scale matches the reference's.
+    ``jnp.max`` is exactly associative, the tree sum is order-pinned, and
+    the elementwise tail is layout-independent — so a sharded bank produces
+    bitwise the same weights (hence the same ancestors) as the
+    single-device program. (r05: an extra pre-floor ``e / tree_sum(e)``
+    normalization pass was dropped — 20 fold ops ≈ 110 µs/call of scan-body
+    dispatches at 2^20, numerically a no-op next to the final divide.)"""
     m = jnp.max(logw)
-    e = jnp.exp(logw - m)
-    w = e / tree_sum(e)
-    w = w + 1e-30
+    w = jnp.exp(logw - m) + 1e-30
     return w / tree_sum(w)
 
 
 def normalize_weights_det_shard(logw: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Shard body of ``normalize_weights_det`` (call inside ``shard_map``
     over a contiguously particle-sharded bank): ``pmax`` is exactly
-    associative and the tree sums route through ``tree_sum_shard``, so the
+    associative and the tree sum routes through ``tree_sum_shard``, so the
     returned local weight slice is BITWISE the corresponding slice of the
     unsharded ``normalize_weights_det`` — at any shard count."""
     m = jax.lax.pmax(jnp.max(logw), axis_name)
-    e = jnp.exp(logw - m)
-    w = e / tree_sum_shard(e, axis_name)
-    w = w + 1e-30
+    w = jnp.exp(logw - m) + 1e-30
     return w / tree_sum_shard(w, axis_name)
 
 

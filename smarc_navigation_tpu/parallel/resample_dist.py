@@ -157,11 +157,14 @@ def systematic_gather_shard(
 
     def exact(_):
         # all-gather the bank (weight-collapse rarity): m carries the global
-        # cummax already, so concatenation over shards == global m_cum
+        # cummax already, so concatenation over shards == global m_cum.
+        # Ancestors via scatter+cummax (``_expand_blocks``) — same ancestors
+        # as searchsorted side="right" by definition, ~15x cheaper on TPU
+        # (r05; the single-chip kernel's exact fallback made the same swap)
         m_full = jax.lax.all_gather(m, axis_name, tiled=True)
         p_full = jax.lax.all_gather(parts8, axis_name, axis=1, tiled=True)
-        anc = jnp.searchsorted(
-            m_full, g0 + jnp.arange(ns, dtype=jnp.int32), side="right")
+        anc = jax.lax.dynamic_slice(
+            resampling._expand_blocks(m_full), (g0,), (ns,))
         return jnp.take(p_full, anc, axis=1)[0:6]
 
     return jax.lax.cond(fits, fast, exact, None)
