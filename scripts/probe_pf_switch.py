@@ -35,9 +35,8 @@ def main():
         s0 = pf.init_state(N, params, key)
         gps = jnp.asarray([5.0, -3.0], jnp.float32)
 
-        Ws = sorted(set(w for w in (
-            block + 128, block + pf_kernels._wslack(block),
-            block + pf_kernels._wslack(block) + 256) if w <= N))
+        Ws = sorted(set(
+            w for w in pf_kernels._w_tiers(block) if w <= N))
 
         @jax.jit
         def probe(parts, keys):

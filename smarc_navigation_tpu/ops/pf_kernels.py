@@ -198,8 +198,9 @@ def systematic_resample_gather(
     weight vector. r05: the fallback was ``jnp.searchsorted`` + take
     (~179 ms at 2^20); healthy-filter span outliers fire it ~2-3% of
     updates (measured: 2/64 at 2^18 with the old 768-wide top tier), and
-    ONE firing inside a bench window poisons the whole slope — so the top
-    W tier is now block+768 and the fallback ancestors come from
+    ONE firing inside a bench window poisons the whole slope — so the W
+    ladder now tops out at block+1280 (``_w_tiers``; probe max need 1152
+    over 64 chained updates) and the fallback ancestors come from
     ``resampling._expand_blocks`` (scatter + running max, ~12 ms at 2^20,
     same ancestors by definition: slot j belongs to the smallest i with
     m_cum[i] > j).
@@ -228,8 +229,7 @@ def systematic_resample_gather(
     # variants and lax.switch on the measured requirement (the old fixed
     # W = block + _wslack wasted ~25% of the cell passes on typical calls);
     # anything beyond the widest variant still routes to the exact gather.
-    Ws = [w for w in (block + 128, block + _wslack(block),
-                      block + 768) if w <= n]
+    Ws = [w for w in _w_tiers(block) if w <= n]
     Ws = sorted(set(Ws))
     if n % block or not Ws:
         if n == block:
@@ -275,12 +275,10 @@ def systematic_resample_gather(
     jitter = jitter_sd is not None
 
     def make_fast(W):
-        # merged-window size: the last block's window start sits
-        # ~(batch-1)*block past the head in expectation; give the guard
-        # ~8 sigma of span fluctuation + the head's 128-alignment waste on
-        # top of W, or the `fits` check trips on ordinary weight spread
-        # and falls back to the 179 ms exact gather (measured: margin ==
-        # one block width made batch=32 fall back on most calls)
+        # merged-window size: see _merged_bw — margin must cover the
+        # within-batch window-start drift under post-update weight skew
+        # or the `fits` check trips on ordinary weight spread and routes
+        # healthy updates to the ~12 ms exact fallback
         batch = BATCH if (n_blocks % BATCH == 0
                           and n >= _merged_bw(BATCH, block, W)) else 1
         BW = _merged_bw(batch, block, W) if batch > 1 else W
@@ -351,12 +349,29 @@ def systematic_resample_gather(
     return res[0:6]
 
 
+def _w_tiers(block: int):
+    """Adaptive window-width ladder for ``systematic_resample_gather``.
+
+    Healthy-filter spans sit near block+128..block+256 (probe med 512 at
+    block=256), but ~3% of real GPS updates need 768-1152 (probe max 1152
+    over 64 chained updates at 2^20) — each such call on the exact
+    fallback costs ~12 ms vs ~3.8 ms on a W=1536 kernel pass, and one
+    firing inside a bench window moves the whole slope. Tiers beyond the
+    ladder still route to the exact scatter+cummax gather."""
+    return (block + 128, block + _wslack(block), block + 768,
+            block + 1280)
+
+
 def _merged_bw(batch: int, block: int, W: int) -> int:
     """Merged-window size: the last block's start sits ~(batch-1)*block past
-    the head, plus the head's 128-alignment waste and ~8 sigma of span
-    fluctuation (margin 768) — a one-block margin made the `fits` guard trip
-    on ordinary weight spread and fall back to the 179 ms exact gather."""
-    return batch * block + W + 768
+    the head, plus the head's 128-alignment waste and within-batch span
+    drift. r05 probe (64 chained real GPS updates): drift beyond the batch
+    span reaches 4096 at 2^20 (2304 at 2^18) — the old 768 margin tripped
+    the `fits` guard on ~3% of healthy updates and fired the ~12 ms exact
+    fallback. Margin 6144 (1.5x observed max) costs +22 MB DMA per call
+    (~+53 us by the 115 us / 48 MB law) and keeps every probed update on
+    the kernel; a one-block margin made batch=32 fall back on MOST calls."""
+    return batch * block + W + 6144
 
 
 def _wslack(block: int) -> int:
