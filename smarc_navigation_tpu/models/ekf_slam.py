@@ -878,11 +878,18 @@ def run_fleet(
         return final, jax.tree_util.tree_map(
             lambda x: jnp.moveaxis(x, 0, 1), out_bm)
 
+    if update_mode == "marginal":
+        # r05: reference-semantics marginal writeback has its own kernel
+        # fleet (pose rows + band carry, no (D,D) state anywhere) — the
+        # vmapped dense path remains reachable as "marginal_dense"
+        return run_fleet_marginal(batched_timeline, params, cfg)
+    if update_mode == "marginal_dense":
+        update_mode = "marginal"
     if update_mode not in ("auto", "full"):
-        # non-default covariance writeback (marginal/lowrank/pallas): the
-        # fleet update kernel implements exactly the "full" sequence, so
-        # honor the request through the vmapped per-mission path instead of
-        # silently substituting full-update semantics
+        # non-default covariance writeback (marginal_dense/lowrank/pallas):
+        # the fleet update kernel implements exactly the "full" sequence,
+        # so honor the request through the vmapped per-mission path instead
+        # of silently substituting full-update semantics
         final, out = jax.vmap(
             lambda tl: run(tl, params, cfg, update_mode=update_mode)
         )(batched_timeline)
@@ -943,6 +950,204 @@ def run_fleet(
         return (st, band), out
 
     (final, _band), out = jax.lax.scan(body, (s0_b, band0_b), tl_t)
+    return final, out
+
+
+# ---------------------------------------------------------------------------
+# marginal-writeback kernel fleet (r05): reference covariance semantics
+# ---------------------------------------------------------------------------
+
+class MarginalFleetState(NamedTuple):
+    """Fleet carry of the marginal-semantics path: under the reference's
+    own update (``ekf_slam_core.cpp:351-371``) cross-landmark covariance
+    blocks stay exactly zero forever, so pose rows + the landmark
+    block-diag band ARE the complete covariance."""
+    mu: jnp.ndarray           # (B, D)
+    rows: jnp.ndarray         # (B, 8, D) Σ[0:6, :] (rows 6:8 zero)
+    band: jnp.ndarray         # (B, 24, L)
+    active: jnp.ndarray       # (B, L) bool
+    n_active: jnp.ndarray     # (B,) int32
+    mu_auv_odom: jnp.ndarray  # (B, 3)
+
+
+def sigma_from_rows_band(rows: jnp.ndarray, band: jnp.ndarray,
+                         L: int) -> jnp.ndarray:
+    """Reconstruct the full (B, D, D) covariance of a marginal-mode fleet:
+    pose rows + transposed pose columns + landmark block-diag; every
+    cross-landmark block is zero by the marginal-semantics invariant."""
+    B, _, D = rows.shape
+    pr = rows[:, 0:6, :]
+    Sig = jnp.zeros((B, D, D), rows.dtype)
+    Sig = Sig.at[:, :, 0:6].set(jnp.swapaxes(pr, 1, 2))
+    Sig = Sig.at[:, 0:6, :].set(pr)
+    la = 6 + 3 * jnp.arange(L)
+    for a in range(3):
+        for d in range(3):
+            if a + d >= 3:
+                continue
+            Sig = Sig.at[:, la + a, la + a + d].set(band[:, a * 8 + d, :])
+            if d:
+                Sig = Sig.at[:, la + a + d, la + a].set(band[:, a * 8 + d, :])
+    return Sig
+
+
+def _fleet_predict_marginal(ms: MarginalFleetState, odom_pose, valid,
+                            params: SlamParams, rows_in_xla: bool):
+    """``_fleet_predict`` for the marginal carry: μ/odom bookkeeping is
+    identical; the covariance transform touches only the pose rows
+    (Σ'[0:6, 6:] = A Σ[0:6, 6:], Σ'66 = A Σ66 Aᵀ + R̃ — landmark blocks are
+    untouched by the motion predict, ``ekf_slam_core.cpp:110-118``).
+    With ``rows_in_xla=False`` the transform rides the DA/update kernels
+    via the returned a8 block and rows come back untouched."""
+    dt = ms.mu.dtype
+    v1 = valid.astype(dt)[:, None]
+    u_t = (odom_pose[:, 0:3] - ms.mu_auv_odom) * v1
+    att = jnp.where(valid[:, None], wrap_angle(odom_pose[:, 3:6]),
+                    ms.mu[:, 3:6])
+    mu = ms.mu.at[:, 0:3].add(u_t)
+    mu = mu.at[:, 3:6].set(att)
+
+    g = jax.vmap(lambda a, u: jax.jacfwd(
+        lambda x: rotmat_from_rpy(x) @ u)(a))(att, u_t)          # (B,3,3)
+    c1 = jnp.zeros((8, 16), dt)
+    c1 = c1.at[jnp.arange(3), jnp.arange(3)].set(1.0)
+    c1 = c1.at[jnp.arange(6, 8), jnp.arange(6, 8)].set(1.0)
+    c1 = c1.at[0:6, 8:14].set(params.R.astype(dt))
+    c2 = jnp.zeros((8, 16), dt).at[jnp.arange(8), jnp.arange(8)].set(1.0)
+    a8 = jnp.where(valid[:, None, None],
+                   jnp.pad(g, ((0, 0), (0, 5), (3, 10))) + c1, c2)
+
+    rows = ms.rows
+    if rows_in_xla:
+        A8 = a8[:, :, 0:8]                                       # (B,8,8)
+        r88 = a8[:, :, 8:16]
+        P1 = jnp.einsum("bij,bjd->bid", A8, rows)
+        t2 = jnp.einsum("bij,bjk,blk->bil", A8, rows[:, :, 0:8], A8) + r88
+        rows = _rows_block_fix(P1, t2)
+        a8 = None
+    return ms._replace(mu=mu, rows=rows,
+                       mu_auv_odom=ms.mu_auv_odom + u_t), a8
+
+
+def _rows_block_fix(P1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
+    """Place the (B,8,8) predicted pose block into lanes 0:6 of the
+    left-multiplied rows (lanes >= 6 keep A·Σ[0:6, 6:])."""
+    D = P1.shape[2]
+    lane = jnp.arange(D)[None, None, :]
+    t2p = jnp.pad(t2, ((0, 0), (0, 0), (0, D - 8)))
+    return jnp.where(lane < 6, t2p, P1)
+
+
+def da_lanes_pass_marginal(ms: MarginalFleetState, z_b, mask_b,
+                           params: SlamParams, cfg: EKFSlamConfig,
+                           sensor: SensorSpec = None, a8=None, valid=None):
+    """Fleet DA pass on the marginal carry: the DA kernel reads its
+    spp/spl slabs from the pose rows and sll from the band (its own inputs
+    all along); the update is the marginal kernel
+    (``slam_kernels.sequential_update_marginal_fleet``)."""
+    from ..ops import slam_da_kernels, slam_kernels
+
+    sensor = MBES if sensor is None else sensor
+    B = ms.mu.shape[0]
+    L = cfg.max_landmarks
+    if sensor.dim == 2:
+        kind, r_sb, t_sb = "fls", params.r_fls_base, params.t_fls_base
+    else:
+        kind, r_sb, t_sb = "mbes", None, None
+    A = a8[:, 0:6, 0:6] if a8 is not None else None
+    r_full = a8[:, 0:6, 8:14] if a8 is not None else None
+    ctr, H_sel, SinvH, nu_sel, cand, do, add, slot = slam_da_kernels.da_lanes(
+        ms.mu[:, 0:6], ms.n_active, ms.active,
+        ms.mu[:, 6:].reshape(B, L, 3), None,
+        z_b[:, :, 0:3], mask_b,
+        jnp.diagonal(sensor.q(params)), sensor.lam(params),
+        cfg.outlier_cost, sensor.mh_dist(cfg), jnp.asarray(sensor.new_lm_cov),
+        sensor=kind, r_sb=r_sb, t_sb=t_sb,
+        A=A, valid=valid, r_full=r_full, band=ms.band, pose_rows=ms.rows,
+    )
+    lm_ix = 6 + 3 * slot
+    active = jax.vmap(lambda a, ad, sl: a.at[jnp.where(ad, sl, L)].set(
+        True, mode="drop"))(ms.active, add, slot)
+    n_active = ms.n_active + jnp.sum(add, axis=1)
+    f32 = ms.mu.dtype
+    rows_n, mu_b, band_n = slam_kernels.sequential_update_marginal_fleet(
+        ms.rows, ms.mu, H_sel, SinvH, nu_sel, lm_ix, do, add,
+        jnp.asarray(sensor.new_lm_cov, f32), cand, ms.band, a8)
+    matched = jnp.where(do, slot, -1)
+    return ms._replace(mu=mu_b, rows=rows_n, band=band_n, active=active,
+                       n_active=n_active), matched
+
+
+def run_fleet_marginal(
+    batched_timeline: Timeline,
+    params: SlamParams,
+    cfg: EKFSlamConfig = EKFSlamConfig(),
+):
+    """Fleet replay under the reference's MARGINAL covariance semantics
+    (``run_fleet`` counterpart of ``run(update_mode="marginal")``): the
+    carry is pose rows + band — nothing (D, D)-shaped exists anywhere in
+    the scan, which removes the Σ-stream wall that dominates the
+    full-update kernel at L=256 (D=774: ~2.4 MB/mission/tick of Σ DMA).
+    Returns (final SlamState with the covariance RECONSTRUCTED once at the
+    end, out dict) — association decisions are pinned against the dense
+    marginal path by tests/test_slam_marginal.py."""
+    tl_t = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 0, 1), batched_timeline)
+    B = batched_timeline.ticks.shape[0]
+    L = cfg.max_landmarks
+    s0 = init_state(cfg)
+    D = s0.mu.shape[0]
+    rows0 = jnp.zeros((8, D), s0.Sigma.dtype).at[0:6, :].set(s0.Sigma[0:6, :])
+    ms0 = MarginalFleetState(
+        mu=jnp.broadcast_to(s0.mu, (B, D)),
+        rows=jnp.broadcast_to(rows0, (B, 8, D)),
+        band=jnp.broadcast_to(initial_band(s0.Sigma, L), (B, 24, L)),
+        active=jnp.broadcast_to(s0.active, (B, L)),
+        n_active=jnp.broadcast_to(s0.n_active, (B,)),
+        mu_auv_odom=jnp.broadcast_to(s0.mu_auv_odom, (B, 3)),
+    )
+
+    def body(ms, tick_b):
+        odom = tick_b.channels["odom"]
+        if odom.value.shape[-1] >= 13:
+            from ..utils.geometry import rpy_from_quat
+
+            odom_pose = jnp.concatenate(
+                [odom.value[:, 0:3],
+                 jax.vmap(rpy_from_quat)(odom.value[:, 3:7])], axis=1)
+        else:
+            odom_pose = odom.value[:, 0:6]
+        have_events = ("mbes" in tick_b.events) or ("fls" in tick_b.events)
+        ms, a8 = _fleet_predict_marginal(ms, odom_pose, odom.valid, params,
+                                         rows_in_xla=not have_events)
+
+        out = {}
+        if "mbes" in tick_b.events:
+            ev = tick_b.events["mbes"]
+            ms, matched = da_lanes_pass_marginal(
+                ms, ev.value, ev.mask & odom.valid[:, None], params, cfg,
+                a8=a8, valid=odom.valid)
+            a8 = None
+            out["matched_mbes"] = matched
+        if "fls" in tick_b.events:
+            evf = tick_b.events["fls"]
+            ms, matched_f = da_lanes_pass_marginal(
+                ms, evf.value, evf.mask & odom.valid[:, None], params, cfg,
+                FLS, a8=a8,
+                valid=odom.valid if a8 is not None else None)
+            a8 = None
+            out["matched_fls"] = matched_f
+
+        out["mu"] = ms.mu[:, 0:6]
+        out["n_active"] = ms.n_active
+        return ms, out
+
+    final_ms, out = jax.lax.scan(body, ms0, tl_t)
+    final = SlamState(
+        mu=final_ms.mu,
+        Sigma=sigma_from_rows_band(final_ms.rows, final_ms.band, L),
+        active=final_ms.active, n_active=final_ms.n_active,
+        mu_auv_odom=final_ms.mu_auv_odom)
     return final, out
 
 

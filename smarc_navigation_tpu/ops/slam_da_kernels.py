@@ -493,6 +493,13 @@ def da_lanes(
                                 #   strided block-diag gather from the full
                                 #   Σ (measured 3.6 ms/tick at L=256
                                 #   fleet-128) with static slices.
+    pose_rows: jnp.ndarray = None,  # (B, 8, D) pose rows Σ[0:6, :] — the
+                                #   marginal fleet's covariance state
+                                #   (r05). When given, ``Sigma`` may be
+                                #   None: spp/spl slabs come from the rows
+                                #   (requires ``band`` for sll). The DA
+                                #   kernel itself is unchanged — it only
+                                #   ever consumed these three slabs.
 ):
     """Whole DA stage (MBES or FLS) for a fleet -> per-measurement tensors.
 
@@ -516,8 +523,8 @@ def da_lanes(
         out = jnp.zeros((rows, Bp), f32)
         return out.at[:, :B].set(x.astype(f32).T)
 
-    pose_rows = 84 if predict else 8
-    pose_in = jnp.zeros((pose_rows, Bp), f32)
+    pose_in_rows = 84 if predict else 8
+    pose_in = jnp.zeros((pose_in_rows, Bp), f32)
     pose_in = pose_in.at[0:6, :B].set(pose6.astype(f32).T)
     pose_in = pose_in.at[6, :B].set(n_active.astype(f32))
     if predict:
@@ -527,9 +534,16 @@ def da_lanes(
             r_full.astype(f32).reshape(B, 36).T)
     act_in = lanes(active, L)
     lm_in = lanes(lm_pos.transpose(0, 2, 1).reshape(B, 3 * L), 3 * L)
-    spp_in = lanes(Sigma[:, 0:6, 0:6].reshape(B, 36), 36)
-    # spl blocks [(i*3+k)*L + l] = Sigma[b, i, 6+3l+k]
-    spl = Sigma[:, 0:6, 6:].reshape(B, 6, L, 3)
+    if pose_rows is not None:
+        if band is None:
+            raise ValueError("pose_rows requires the band carry for sll")
+        prow = pose_rows[:, 0:6, :]
+        spp_in = lanes(prow[:, :, 0:6].reshape(B, 36), 36)
+        spl = prow[:, :, 6:].reshape(B, 6, L, 3)
+    else:
+        spp_in = lanes(Sigma[:, 0:6, 0:6].reshape(B, 36), 36)
+        # spl blocks [(i*3+k)*L + l] = Sigma[b, i, 6+3l+k]
+        spl = Sigma[:, 0:6, 6:].reshape(B, 6, L, 3)
     spl_in = lanes(spl.transpose(0, 1, 3, 2).reshape(B, 18 * L), 18 * L)
     # sll blocks [(a*3+c)*L + l] = Sigma[b, 6+3l+a, 6+3l+c]
     if band is not None:

@@ -799,3 +799,312 @@ def sequential_update_fleet(
     if slabs:
         return sig_new, mu_out[:, 0, :], outs[3]
     return sig_new, mu_out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# reference-semantics MARGINAL writeback fleet kernel (r05, VERDICT #2)
+# ---------------------------------------------------------------------------
+
+def _make_marginal_kernel_fleet(MB: int, M: int, predict: bool = False):
+    """Fleet update kernel for the reference's OWN covariance semantics:
+    each measurement updates only the 9x9 (pose, matched-landmark) marginal
+    (``ekf_slam_core.cpp:351-371``, ``utils/ekf_utils.cpp:18-23``) — no
+    O(D^2) downdate exists in the reference at all.
+
+    Under marginal semantics the cross-LANDMARK covariance blocks stay
+    exactly zero forever (the predict touches only pose rows/cols,
+    activation writes one diag block, and the 9x9 writeback touches pose
+    x pose, pose x own-landmark and own-landmark x own-landmark), so the
+    COMPLETE covariance state is:
+
+      * P  (8, D):  the pose rows Sigma[0:6, :] (sublane-padded), and
+      * band (24, L): the landmark block-diag band the full kernel already
+        carries (band[a*8+d, l] = Sigma[6+3l+a, 6+3l+a+d]).
+
+    Nothing (D, D)-shaped is ever read, written, or carried — at L=256
+    (D=774) the full-update kernel's grid step IS the Sigma stream
+    (~30 us/mission); here a mission's whole state is ~50 KB.
+
+    Per measurement j (sequential, measurement order — matching the dense
+    ``upd2`` path in models/ekf_slam.py): assemble Sigma9 from P cols
+    (one-hot MXU select) + band slot (one-hot column extract); for adds
+    use diag(new_lm_cov) and the zero-cross invariant; K^T = SinvH Sigma9,
+    V = H Sigma9, Sigma9' = Sigma9 - K^T^T V (= (I - K H) Sigma9, which is
+    symmetric in exact arithmetic); write Sigma9' back into P (rows 0:6,
+    lanes {0:6, lm:lm+3}) and the band slot (SET semantics), and mu +=
+    embed(nu K^T) + add*cand with per-measurement angle wrap (upd2
+    behavior). Known ulp-level divergence vs the dense upd2: the landmark
+    ROW block Sigma[lm, 0:6] is read as the transpose of the pose-row
+    cross (Sigma9' is only symmetric up to rounding); documented in
+    README "Known divergences"."""
+    def kernel(pk_all,                 # (G, MB*M) int32 SMEM packed
+               p_in,                   # (MB, 8, D) pose rows (rows 6:8 zero)
+               mu_in,                  # (MB, 8, D) row 0 = mu
+               ghsel_ref,              # (MB, M*16, 16) rows j*16+[0:8)=SinvH,
+                                       #   [8:16)=H (dim live rows each)
+               cov_ref,                # (16, 128) col 1 rows 6:9 new_lm_cov
+               nu_ref,                 # (MB, M*8, 128) col0 rows 0:dim = nu,
+                                       #   col1 rows 0:3 = cand*add
+               *rest):                 # [a8_ref,] band_in, p_out, mu_out,
+                                       #   band_out
+        rest = list(rest)
+        a8_ref = rest.pop(0) if predict else None
+        band_in_ref, p_out, mu_out, band_out = rest
+        g = pl.program_id(0)
+        D = p_in.shape[2]
+        Lsz = band_in_ref.shape[2]
+
+        def lmix_of(b, m):
+            return pk_all[g, b * M + m] & 0x3FFF
+
+        def do_of(b, m):
+            return (pk_all[g, b * M + m] >> 14) & 1
+
+        def add_of(b, m):
+            return pk_all[g, b * M + m] >> 15
+
+        row16D = jax.lax.broadcasted_iota(jnp.int32, (16, D), 0)
+        colD16 = jax.lax.broadcasted_iota(jnp.int32, (16, D), 1)
+        row8D = jax.lax.broadcasted_iota(jnp.int32, (8, D), 0)
+        colD8 = jax.lax.broadcasted_iota(jnp.int32, (8, D), 1)
+        r16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
+        c16 = jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
+        r24L = jax.lax.broadcasted_iota(jnp.int32, (24, Lsz), 0)
+        c24L = jax.lax.broadcasted_iota(jnp.int32, (24, Lsz), 1)
+        r16L = jax.lax.broadcasted_iota(jnp.int32, (16, Lsz), 0)
+        c16L = jax.lax.broadcasted_iota(jnp.int32, (16, Lsz), 1)
+        r24_16 = jax.lax.broadcasted_iota(jnp.int32, (24, 16), 0)
+        c24_16 = jax.lax.broadcasted_iota(jnp.int32, (24, 16), 1)
+        i8D = jnp.where(row8D == colD8, 1.0, 0.0)        # (8,D) diag one-hot
+        eye8 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1), 1.0, 0.0)
+        e16_8 = jnp.where(r16 == c16, 1.0, 0.0)[:, 0:8]  # (16,8) row embed
+        cov16 = cov_ref[:, 1:2]                          # (16,1) rows 6:9
+        angle_mask = (colD8 >= 3) & (colD8 < 6) & (row8D == 0)
+
+        # ---- init + in-kernel motion predict on the pose rows ------------
+        for b in range(MB):
+            mu_out[b, :, :] = mu_in[b]
+            band_out[b, :, :] = band_in_ref[b]
+            if predict:
+                a8b = a8_ref[b][:, 0:8]                  # blockdiag(A6, I2)
+                r88 = a8_ref[b][:, 8:16]                 # gated 6x6 R-tilde
+                P = p_in[b]
+                # left multiply: Sigma'[0:6, 6:] = A6 Sigma[0:6, 6:]
+                P1 = jnp.dot(a8b, P, **_DOTH)
+                # pose block: A6 Sigma66 A6^T + R (lanes 0:6 only; an
+                # identity a8 with zero R reproduces P bitwise)
+                s66 = P[:, 0:8]
+                t2 = jax.lax.dot_general(
+                    jnp.dot(a8b, s66, **_DOTH), a8b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    **_DOTH) + r88
+                emb = jnp.dot(t2, i8D, **_DOTH)          # t2 at lanes 0:8
+                p_out[b, :, :] = jnp.where(colD8 < 6, emb, P1)
+            else:
+                p_out[b, :, :] = p_in[b]
+
+        # ---- sequential marginal updates (j outer for MB interleave) -----
+        for j in range(M):
+            for b in range(MB):
+                do = do_of(b, j) != 0
+                add = add_of(b, j) != 0
+                lm = lmix_of(b, j)
+
+                @pl.when(do)
+                def _(b=b, j=j, lm=lm, add=add):
+                    slot = (lm - 6) // 3
+                    sel = jnp.where(row16D < 6, row16D, lm + (row16D - 6))
+                    E = jnp.where((colD16 == sel) & (row16D < 9), 1.0, 0.0)
+                    P = p_out[b]                                   # (8, D)
+                    # Sigma9 pose rows: cols {0:6, lm:lm+3} selected
+                    s9r = jax.lax.dot_general(
+                        P, E, dimension_numbers=(((1,), (1,)), ((), ())),
+                        **_DOTH)                                   # (8,16)
+                    # band slot column -> 3x3 block at rows/cols 6:9
+                    ohs = jnp.where((c16L == slot) & (r16L == 0), 1.0, 0.0)
+                    bcol = jax.lax.dot_general(
+                        band_out[b], ohs,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        **_DOTH)                                   # (24,16)
+                    # symmetric band -> 3x3 block, one column at a time:
+                    # b3[6+a, 6+c] = bcol[min(a,c)*8 + |a-c|, 0]
+                    b3 = jnp.zeros((16, 16), jnp.float32)
+                    r16_24 = jax.lax.broadcasted_iota(jnp.int32, (16, 24), 0)
+                    c16_24 = jax.lax.broadcasted_iota(jnp.int32, (16, 24), 1)
+                    for c in range(3):
+                        g24 = jnp.where(
+                            (r16_24 >= 6) & (r16_24 < 9)
+                            & (c16_24 == (jnp.minimum(r16_24 - 6, c) * 8
+                                          + jnp.abs(r16_24 - 6 - c))),
+                            1.0, 0.0)                          # (16,24)
+                        vc = jnp.dot(g24, bcol, **_DOTH)       # (16,16)
+                        b3 = b3 + jnp.where(c16 == 6 + c, vc[:, 0:1], 0.0)
+                    init_blk = jnp.where(
+                        (r16 == c16) & (r16 >= 6) & (r16 < 9), cov16, 0.0)
+                    lmblk = jnp.where(add, init_blk, b3)
+                    # assemble Sigma9 (16,16)
+                    s9p = jnp.dot(e16_8, s9r, **_DOTH)         # rows 0:8
+                    s9rT = jax.lax.dot_general(
+                        s9r, eye8,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        **_DOTH)                               # (16,8)
+                    s9tT16 = jax.lax.dot_general(
+                        s9rT, e16_8,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        **_DOTH)                               # (16,16)
+                    sig9 = (jnp.where(r16 < 6, s9p, 0.0)
+                            + jnp.where((r16 >= 6) & (r16 < 9) & (c16 < 6),
+                                        s9tT16, 0.0)
+                            + jnp.where((r16 >= 6) & (r16 < 9)
+                                        & (c16 >= 6) & (c16 < 9),
+                                        lmblk, 0.0))
+                    GH = ghsel_ref[b, _PAD9 * j:_PAD9 * (j + 1), :]
+                    KV = jnp.dot(GH, sig9, **_DOTH)            # (16,16)
+                    dl = jax.lax.dot_general(
+                        KV[0:8, :], KV[8:16, :],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        **_DOTH)                               # (16,16)
+                    sig9n = sig9 - dl
+                    # mu += embed(nu Kt) + add*cand (cand pre-gated, col 1)
+                    nucol = nu_ref[b][_PAD_DIM * j:_PAD_DIM * (j + 1), 0:1]
+                    cd3 = nu_ref[b][_PAD_DIM * j:_PAD_DIM * (j + 1), 1:2]
+                    delta9 = jax.lax.dot_general(
+                        nucol, KV[0:8, :],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        **_DOTH)                               # (1,16)
+                    sel36 = jnp.where(
+                        (jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
+                         == jax.lax.broadcasted_iota(
+                             jnp.int32, (8, 16), 0) + 6)
+                        & (jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 16), 0) < 3), 1.0, 0.0)
+                    cdrow = jax.lax.dot_general(
+                        cd3, sel36,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        **_DOTH)                               # (1,16)
+                    dmu = delta9 + cdrow
+                    mu_emb = jax.lax.dot_general(
+                        dmu, E, dimension_numbers=(((1,), (0,)), ((), ())),
+                        **_DOTH)                               # (1, D)
+                    munew = mu_out[b] + jnp.where(row8D == 0, mu_emb, 0.0)
+                    wrapped = jnp.mod(munew + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+                    mu_out[b, :, :] = jnp.where(angle_mask, wrapped, munew)
+                    # P writeback: rows 0:6, lanes {0:6, lm:lm+3}
+                    pemb = jax.lax.dot_general(
+                        sig9n[0:8, :], E,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        **_DOTH)                               # (8, D)
+                    mask9 = (colD8 < 6) | ((colD8 >= lm) & (colD8 < lm + 3))
+                    p_out[b, :, :] = jnp.where(
+                        (row8D < 6) & mask9, pemb, p_out[b])
+                    # band slot writeback (SET): band[a*8+d, slot] =
+                    #   sig9n[6+a, 6+min(a+d, 2)] (rows a+d>2 are never
+                    #   consumed; the clamp only keeps the select in range)
+                    rsel = jnp.where(
+                        (c24_16 == 6 + r24_16 // 8) & (r24_16 // 8 < 3),
+                        1.0, 0.0)                              # (24,16)
+                    t1 = jnp.dot(rsel, sig9n, **_DOTH)         # (24,16)
+                    cmask = jnp.where(
+                        c24_16 == 6 + jnp.minimum(
+                            r24_16 // 8 + r24_16 % 8, 2), 1.0, 0.0)
+                    vals = jnp.sum(t1 * cmask, axis=1,
+                                   keepdims=True)              # (24,1)
+                    band_out[b, :, :] = jnp.where(
+                        c24L == slot, vals, band_out[b])
+
+    return kernel
+
+
+def sequential_update_marginal_fleet(
+    P: jnp.ndarray,        # (B, 8, D) pose rows Sigma[0:6,:] (rows 6:8 zero)
+    mu: jnp.ndarray,       # (B, D)
+    H_sel: jnp.ndarray,    # (B, M, dim, 9)
+    SinvH: jnp.ndarray,    # (B, M, dim, 9)
+    nu_sel: jnp.ndarray,   # (B, M, dim)
+    lm_ix: jnp.ndarray,    # (B, M) int32
+    do: jnp.ndarray,       # (B, M) bool
+    add: jnp.ndarray,      # (B, M) bool
+    new_lm_cov: jnp.ndarray,   # (3,)
+    cand: jnp.ndarray,     # (B, M, 3) new-landmark positions
+    band: jnp.ndarray,     # (B, 24, L) landmark block-diag band
+    a8: jnp.ndarray = None,    # (B, 8, 16) motion Jacobian + R-tilde block
+) -> tuple:
+    """Fleet-batched MARGINAL sequential update (reference covariance
+    semantics, ``ekf_slam_core.cpp:351-371``): returns (P', mu', band').
+    See ``_make_marginal_kernel_fleet``. The covariance state is pose rows
+    + band only — nothing (D, D)-shaped exists on this path."""
+    B, D = P.shape[0], P.shape[2]
+    M, dim = nu_sel.shape[1], nu_sel.shape[2]
+    Lsz = band.shape[2]
+    f32 = jnp.float32
+    # VMEM per mission: P/mu in+out (4 x 8D), band in+out (2 x 24L), gh/nu,
+    # all double-buffered; tiny vs the full kernel's Sigma planes
+    per_mission = 4 * 2 * (
+        4 * 8 * D + 2 * 24 * Lsz
+        + M * _PAD9 * _PAD9 + M * _PAD_DIM * 128 + 8 * 16)
+    MB = 1
+    for cand_mb in (16, 8, 4, 2):
+        if B % cand_mb == 0 and cand_mb * per_mission <= 12 * 2 ** 20:
+            MB = cand_mb
+            break
+    G = B // MB
+
+    gh = jnp.zeros((B, M, _PAD9, _PAD9), f32)
+    gh = gh.at[:, :, :dim, :9].set(SinvH.astype(f32))
+    gh = gh.at[:, :, _PAD_DIM:_PAD_DIM + dim, :9].set(H_sel.astype(f32))
+    gh = gh.reshape(B, M * _PAD9, _PAD9)
+
+    nu_col = jnp.zeros((B, M, _PAD_DIM, 128), f32)
+    nu_col = nu_col.at[:, :, :dim, 0].set(nu_sel.astype(f32))
+    nu_col = nu_col.at[:, :, 0:3, 1].set(
+        jnp.where(add[:, :, None], cand.astype(f32), 0.0))
+    nu_col = nu_col.reshape(B, M * _PAD_DIM, 128)
+    cov = jnp.zeros((_PAD9, 128), f32)
+    cov = cov.at[6:9, 1].set(new_lm_cov.astype(f32))
+    mu_pad = jnp.zeros((B, 8, D), f32).at[:, 0, :].set(mu.astype(f32))
+
+    predict = a8 is not None
+    packed = (
+        lm_ix.astype(jnp.int32)
+        | (do.astype(jnp.int32) << 14)
+        | (add.astype(jnp.int32) << 15)
+    )
+    in_specs = [
+        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, M * _PAD9, _PAD9), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((_PAD9, 128), lambda g, *_: (0, 0)),
+        pl.BlockSpec((MB, M * _PAD_DIM, 128), lambda g, *_: (g, 0, 0)),
+    ]
+    args = [packed.reshape(G, MB * M), P.astype(f32), mu_pad, gh, cov,
+            nu_col]
+    if predict:
+        in_specs.append(pl.BlockSpec((MB, 8, 16), lambda g, *_: (g, 0, 0)))
+        args.append(a8.astype(f32))
+    in_specs.append(pl.BlockSpec((MB, 24, Lsz), lambda g, *_: (g, 0, 0)))
+    args.append(band.astype(f32))
+    out_specs = [
+        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, 8, D), lambda g, *_: (g, 0, 0)),
+        pl.BlockSpec((MB, 24, Lsz), lambda g, *_: (g, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 8, D), f32),
+        jax.ShapeDtypeStruct((B, 8, D), f32),
+        jax.ShapeDtypeStruct((B, 24, Lsz), f32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[],
+    )
+    p_new, mu_new, band_new = pl.pallas_call(
+        _make_marginal_kernel_fleet(MB, M, predict=predict),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(*args)
+    return p_new, mu_new[:, 0, :], band_new
