@@ -44,16 +44,22 @@ def _jv_lanes(costblks, R, C):
     f32 = jnp.float32
     R1 = R + 1
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R1, 1), 0).astype(f32)
-    inf = jnp.full((1, B), _INF, f32)
-    zero1 = jnp.zeros((1, B), f32)
+    iota_top = iota_r[:R]
 
-    # p[r]: column assigned to row r (-1 free); row R is the virtual root
+    # p[r]: column assigned to row r (-1 free); row R is the virtual root.
+    # p is the ONLY (R1,B) array: the root rows of minv/way/used/v are
+    # write-only (their init values are never read back), so those live at
+    # (R,B) — no sublane concatenation anywhere (Mosaic cannot relayout
+    # i1 vregs when R is not a multiple of 8; r05 fix).
     p = jnp.full((R1, B), -1.0, f32)
-    v = jnp.zeros((R1, B), f32)
+    v = jnp.zeros((R, B), f32)
     u = [jnp.zeros((1, B), f32) for _ in range(C)]
 
     def onehot(j):                       # (1,B) row index -> (R1,B) mask
         return iota_r == j
+
+    def onehot_top(j):                   # same, top R rows only
+        return iota_top == j
 
     def pick(rows, j):                   # rows (R1,B) gathered at per-lane j
         return jnp.sum(jnp.where(onehot(j), rows, 0.0), axis=0, keepdims=True)
@@ -61,11 +67,9 @@ def _jv_lanes(costblks, R, C):
     col_to_row = []
     for c in range(C):
         p = jnp.where(onehot(float(R)), float(c), p)
-        minv = jnp.concatenate([jnp.full((R, B), _INF, f32),
-                                jnp.full((1, B), -_INF, f32)], axis=0)
-        way = jnp.full((R1, B), float(R), f32)
-        used = jnp.concatenate([jnp.zeros((R, B), bool),
-                                jnp.ones((1, B), bool)], axis=0)
+        minv = jnp.full((R, B), _INF, f32)
+        way = jnp.full((R, B), float(R), f32)
+        used = jnp.zeros((R, B), bool)
         # col_used[c']: column c' sits on a used row (drives the u update)
         col_used = [jnp.zeros((1, B), bool) for _ in range(C)]
         col_used[c] = jnp.ones((1, B), bool)      # root carries column c
@@ -79,18 +83,16 @@ def _jv_lanes(costblks, R, C):
             u_i0 = sum(jnp.where(eq0[cc], u[cc], 0.0) for cc in range(C))
             cur = sum(jnp.where(eq0[cc], costblks[cc], 0.0)
                       for cc in range(C))                  # (R,B)
-            cur = cur - u_i0 - v[:R]
+            cur = cur - u_i0 - v
             cur = jnp.where(has, cur, _INF)
-            better = (cur < minv[:R]) & (~used[:R]) & (~done)
-            minv = jnp.concatenate(
-                [jnp.where(better, cur, minv[:R]), minv[R:]], axis=0)
-            way = jnp.concatenate(
-                [jnp.where(better, j0, way[:R]), way[R:]], axis=0)
+            better = (cur < minv) & (~used) & (~done)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
 
-            masked = jnp.where(used[:R], _INF, minv[:R])
+            masked = jnp.where(used, _INF, minv)
             delta = jnp.min(masked, axis=0, keepdims=True)          # (1,B)
             is_min = masked == delta
-            j1 = jnp.min(jnp.where(is_min, iota_r[:R], float(R)),
+            j1 = jnp.min(jnp.where(is_min, iota_top, float(R)),
                          axis=0, keepdims=True)                     # (1,B)
 
             # dual update (frozen lanes keep their state)
@@ -98,12 +100,9 @@ def _jv_lanes(costblks, R, C):
             for cc in range(C):
                 u[cc] = jnp.where(act & col_used[cc], u[cc] + delta, u[cc])
             v = jnp.where(act & used, v - delta, v)
-            minv = jnp.concatenate(
-                [jnp.where(act[0:1] & ~used[:R], minv[:R] - delta, minv[:R]),
-                 minv[R:]], axis=0)
+            minv = jnp.where(act & ~used, minv - delta, minv)
 
-            oh1 = onehot(j1)
-            used = used | (oh1 & act)
+            used = used | (onehot_top(j1) & act)
             i1 = pick(p, j1)
             for cc in range(C):
                 col_used[cc] = col_used[cc] | (act & (i1 == float(cc)))
@@ -116,7 +115,10 @@ def _jv_lanes(costblks, R, C):
         j = j0
         for _k in range(c + 2):
             at_root = j == float(R)
-            j1 = pick(way, j)
+            # way is (R,B): at the root j==R no row matches and j1 reads
+            # 0.0 — harmless, those lanes are frozen by fin|at_root below
+            j1 = jnp.sum(jnp.where(onehot_top(j), way, 0.0),
+                         axis=0, keepdims=True)
             pj1 = pick(p, j1)
             write = onehot(j) & (~fin) & (~at_root)
             p = jnp.where(write, pj1, p)
