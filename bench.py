@@ -103,10 +103,27 @@ def slope(fn, args_small, args_big, units_small, units_big, reps=3):
 
 
 def main():
+    import threading
+
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    # Warm the tunnel CONCURRENTLY with host-side timeline building: the
+    # axon backend's FIRST dispatch of a process intermittently stalls for
+    # minutes (r05 measurement: 225-320 s, always the first device touch,
+    # never later ones). The PJRT call blocks in C (releases the GIL), so
+    # overlapping it with the numpy mission builders hides most of it.
+    def _warm():
+        try:
+            np.asarray(jnp.zeros((8, 128)) + 1.0)
+            print(f"# tunnel warm at t={time.monotonic()-T0:.1f}s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tunnel warm failed: {e!r}", file=sys.stderr)
+
+    threading.Thread(target=_warm, daemon=True).start()
 
     import smarc_navigation_tpu  # noqa: F401  (sets matmul precision)
     from smarc_navigation_tpu.configs import EKFSlamConfig, PFConfig

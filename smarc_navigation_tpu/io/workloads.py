@@ -40,7 +40,7 @@ def slam_mission_timeline(cfg: EKFSlamConfig, duration: float, seed: int):
 
     from ..io import sim
     from ..ops.timeline import build_timeline
-    from ..utils.geometry import quat_from_rpy
+    from ..utils.geometry import quat_from_rpy_np
 
     m = sim.simulate(
         sim.MissionSpec(
@@ -56,7 +56,7 @@ def slam_mission_timeline(cfg: EKFSlamConfig, duration: float, seed: int):
     )
     ticks = np.arange(0, duration + 1e-9, 1.0 / cfg.system_freq)
     gt = m.gt_at(ticks)
-    quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
+    quat = quat_from_rpy_np(gt[:, 3:6])
     k = np.clip((ticks * m.spec.sim_hz).astype(int), 0, len(m.t) - 1)
     odom13 = np.concatenate(
         [gt[:, 0:3], quat, m.vel_body[k], m.gyro[k]], axis=1

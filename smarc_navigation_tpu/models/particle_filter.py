@@ -935,13 +935,13 @@ def run(
 def pf_timeline(mission, freq_hz: float = 10.0) -> Timeline:
     """PF timeline from a simulated mission: odometry (ground-truth-derived
     13-dim), GPS fixes, diving flag."""
-    from ..utils.geometry import quat_from_rpy
+    from ..utils.geometry import quat_from_rpy_np
 
     s = mission.streams
     # odom channel from GT at the odom rate (stands in for the DR output)
     t_odom = np.arange(0.0, mission.spec.duration_s, 0.1)
     gt = mission.gt_at(t_odom)
-    quat = np.asarray(quat_from_rpy(jnp.asarray(gt[:, 3:6])))
+    quat = quat_from_rpy_np(gt[:, 3:6])
     k = np.clip((t_odom * mission.spec.sim_hz).astype(int), 0, len(mission.t) - 1)
     odom13 = np.concatenate(
         [gt[:, 0:3], quat, mission.vel_body[k], mission.gyro[k]], axis=1

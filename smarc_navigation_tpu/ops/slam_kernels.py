@@ -560,6 +560,11 @@ def sequential_update_fleet(
                                #   output
     tiled_ep: bool = False,    # row-tiled prologue/epilogue (D >= 512 only;
                                #   see the VMEM note below)
+    mb: int | None = None,     # mission-block override (None = auto ladder);
+                               #   values > 8 raise the Mosaic scoped-VMEM
+                               #   limit (the 16 MB default is a soft cap —
+                               #   v5e VMEM is far larger; the streamed
+                               #   variant already rides 24 MB)
     streamed: bool | None = None,  # two-call variant (D >= 512): phase 1
                                #   emits U/V factors + μ + band with a
                                #   double-buffered read-only Σ stream;
@@ -647,10 +652,21 @@ def sequential_update_fleet(
             + 2 * (_PRED_ROWS + M * _PAD_DIM) * D       # scratch
             + 2 * D * D)                                # stack temporaries
     MB = 1
-    for cand_mb in (8, 4, 2):
-        if B % cand_mb == 0 and cand_mb * per_mission <= 14 * 2 ** 20:
-            MB = cand_mb
-            break
+    if mb is not None:
+        if B % mb:
+            raise ValueError(f"mb={mb} must divide B={B}")
+        MB = mb
+    else:
+        # deeper-than-8 interleaves measured r05 at L=64 B=128: MB=16 wins
+        # (the grid step is MXU-latency-bound — 16 independent serial
+        # A-chains hide it better than 8); MB=32 regresses (VMEM block
+        # sizes crowd out double-buffering). >8 rides a raised scoped-VMEM
+        # limit (see cparams below).
+        for cand_mb in (16, 8, 4, 2):
+            budget = (44 if cand_mb > 8 else 14) * 2 ** 20
+            if B % cand_mb == 0 and cand_mb * per_mission <= budget:
+                MB = cand_mb
+                break
     G = B // MB
 
     # stacked [G;H] blocks: rows 0..7 = S⁻¹H (gain operand), 8..15 = H
@@ -767,8 +783,11 @@ def sequential_update_fleet(
     # streamed MB=2 at D=774 sits at 17.6M scoped vs the compiler's 16M
     # default soft limit; raise it (v5e VMEM is far larger) so two
     # missions' serial A-chains interleave per grid step
-    cparams = (pltpu.CompilerParams(vmem_limit_bytes=24 * 2 ** 20)
-               if streamed and MB > 1 else None)
+    cparams = None
+    if streamed and MB > 1:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=24 * 2 ** 20)
+    elif MB > 8:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=56 * 2 ** 20)
     outs = pl.pallas_call(
         _make_update_kernel_fleet(MB, M, predict=predict, slabs=slabs,
                                   tiled_ep=tiled_ep, streamed=streamed),

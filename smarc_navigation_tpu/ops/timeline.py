@@ -12,6 +12,15 @@ metadata. Building the snapshot is a host-side numpy `searchsorted` done once
 per mission; after that, replay is a single `lax.scan` over time with no
 host↔device traffic. Dropouts are expressed as validity masks — which is also
 the fault-injection mechanism (SURVEY.md §5).
+
+Builders return NUMPY-leaved pytrees (r05): on the axon backend every small
+device array costs a ~24 ms dispatch round trip through the tunnel (and the
+tunnel occasionally stalls for minutes), so a 128-mission fleet built from
+per-mission device arrays paid hundreds of round trips before the first
+tick ran. Host building is pure numpy; `parallel.fleet.batch_timelines`
+stacks on host and issues ONE `jax.device_put` per batched leaf. Single-
+mission numpy timelines fed straight to a jitted replay are transferred at
+the call boundary exactly like device arrays.
 """
 
 from __future__ import annotations
@@ -94,11 +103,11 @@ def make_channel(
         # channel with no messages: permanently invalid (sensor dropout)
         T, D = len(ticks), max(values.shape[1] if values.ndim == 2 else 1, 1)
         return Channel(
-            value=jnp.zeros((T, D), dtype),
-            stamp=jnp.full((T,), -np.inf, dtype),
-            valid=jnp.zeros((T,), bool),
-            fresh=jnp.zeros((T,), bool),
-            age=jnp.full((T,), np.inf, dtype),
+            value=np.zeros((T, D), dtype),
+            stamp=np.full((T,), -np.inf, dtype),
+            valid=np.zeros((T,), bool),
+            fresh=np.zeros((T,), bool),
+            age=np.full((T,), np.inf, dtype),
         )
     order = np.argsort(stamps, kind="stable")
     stamps, values = stamps[order], values[order]
@@ -113,11 +122,11 @@ def make_channel(
     fresh = valid & (idx != prev_idx)
     age = np.where(valid, ticks - stamp, np.inf)
     return Channel(
-        value=jnp.asarray(value),
-        stamp=jnp.asarray(stamp.astype(dtype)),
-        valid=jnp.asarray(valid),
-        fresh=jnp.asarray(fresh),
-        age=jnp.asarray(age.astype(dtype)),
+        value=np.ascontiguousarray(value),
+        stamp=stamp.astype(dtype),
+        valid=valid,
+        fresh=fresh,
+        age=age.astype(dtype),
     )
 
 
@@ -141,9 +150,9 @@ def make_window_channel(
     if len(stamps) == 0:
         raise ValueError("window channel needs at least one message")
     return WindowChannel(
-        value=jnp.asarray(values[widx]),
-        stamp=jnp.asarray(stamps[widx].astype(dtype)),
-        count=jnp.asarray(count.astype(np.int32)),
+        value=np.ascontiguousarray(values[widx]),
+        stamp=stamps[widx].astype(dtype),
+        count=count.astype(np.int32),
     )
 
 
@@ -181,7 +190,7 @@ def make_event_channel(
             out_v, out_m, dropped = binned
             _record_dropped(dropped, stats)
             return EventChannel(
-                value=jnp.asarray(out_v.astype(dtype)), mask=jnp.asarray(out_m)
+                value=out_v.astype(dtype), mask=np.ascontiguousarray(out_m)
             )
     out = np.zeros((T, max_per_tick, D), dtype=dtype)
     mask = np.zeros((T, max_per_tick), dtype=bool)
@@ -201,7 +210,7 @@ def make_event_channel(
             else:
                 dropped += 1
     _record_dropped(dropped, stats)
-    return EventChannel(value=jnp.asarray(out), mask=jnp.asarray(mask))
+    return EventChannel(value=out, mask=mask)
 
 
 def _record_dropped(dropped: int, stats: Optional[dict]) -> None:
@@ -271,7 +280,7 @@ def build_timeline(
         if stats is not None:
             stats[name] = ch_stats
     return Timeline(
-        ticks=jnp.asarray(ticks.astype(dtype)),
+        ticks=ticks.astype(dtype),
         dt=float(1.0 / freq_hz),
         channels=chan,
         windows=win,

@@ -177,7 +177,17 @@ def run_fleet(
 
 
 def batch_timelines(timelines: list) -> Timeline:
-    """Stack per-mission Timelines (same shapes) into one batched Timeline."""
+    """Stack per-mission Timelines (same shapes) into one batched Timeline.
+
+    Numpy-leaved timelines (the builders' output, ``ops/timeline.py`` r05
+    note) are stacked on host and shipped with ONE ``jax.device_put`` per
+    batched leaf — per-mission device leaves would pay O(B x channels)
+    tunnel round trips. Device-leaved inputs keep the old jnp.stack path."""
+    leaves = jax.tree_util.tree_leaves(timelines[0])
+    if all(isinstance(x, np.ndarray) for x in leaves):
+        batched = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *timelines)
+        return jax.device_put(batched)
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *timelines)
 
 

@@ -86,6 +86,24 @@ def quat_from_rpy(rpy: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z, w], axis=-1)
 
 
+def quat_from_rpy_np(rpy):
+    """Numpy twin of ``quat_from_rpy`` for host-side preprocessing (timeline
+    builders must not touch the device — see ops/timeline.py r05 note)."""
+    import numpy as _np
+
+    rpy = _np.asarray(rpy)
+    hr, hp, hy = rpy[..., 0] * 0.5, rpy[..., 1] * 0.5, rpy[..., 2] * 0.5
+    cr, sr = _np.cos(hr), _np.sin(hr)
+    cp, sp = _np.cos(hp), _np.sin(hp)
+    cy, sy = _np.cos(hy), _np.sin(hy)
+    return _np.stack([
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+        cr * cp * cy + sr * sp * sy,
+    ], axis=-1)
+
+
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps)
 
